@@ -1,0 +1,154 @@
+"""Static configuration and tunable-parameter pytrees for the TPU-native MPPI engine.
+
+Design: the reference (``/root/reference/src/pytorch_mppi/mppi.py:45-199``) resolves all
+optional features (bounds, step-dependency, terminal cost, diagonal sigma) into
+branch-free closures at ``__init__`` time.  The JAX-native equivalent is a *frozen,
+hashable* :class:`MPPIConfig` consumed by a jit-specializing solver factory: every
+static field selects a trace-time branch, so the compiled program contains no runtime
+feature checks at all.
+
+Hyperparameters that autotuning mutates (sigma/mu/lambda — reference
+``autotune.py:140-219``) live in :class:`MPPIParams`, a pytree *traced* by jit, so a
+tuner can update them every trial with zero recompilation.  Horizon changes alter
+shapes and therefore recompile, exactly as noted in SURVEY.md §7 hard-part (a).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class MPPIConfig:
+    """Static (trace-time) MPPI configuration.
+
+    Mirrors the constructor surface of the reference controller
+    (``mppi.py:45-61``) minus the array-valued hyperparameters, which live in
+    :class:`MPPIParams`.
+    """
+
+    nx: int
+    nu: int
+    K: int
+    T: int
+    M: int = 1  # rollout_samples (reference mppi.py:168)
+    u_scale: float = 1.0
+    u_per_command: int = 1
+    rollout_var_cost: float = 0.0
+    rollout_var_discount: float = 0.95
+    sample_null_action: bool = False
+    noise_abs_cost: bool = False
+    has_terminal_cost: bool = False
+    # number of trajectories a SpecificActionSampler injects (0 = no sampler);
+    # static so the row-overwrite is a compile-time dynamic_update_slice
+    num_specific_trajectories: int = 0
+    step_dependent_dynamics: bool = False
+    # JAX-native extension: dynamics takes an explicit PRNG key (stochastic models).
+    # The reference relies on torch's global RNG inside user dynamics; JAX requires
+    # explicit keys, so this is the idiomatic equivalent for rollout_samples > 1.
+    stochastic_dynamics: bool = False
+    dtype: Any = jnp.float32
+
+    # SMPPI extras (reference mppi.py:451-570). Only read by the SMPPI factory.
+    smppi: bool = False
+
+    # KMPPI extras (reference mppi.py:593-688). Only read by the KMPPI factory.
+    num_support_pts: int = 0
+
+    def __post_init__(self):
+        # normalize dtype to a hashable canonical dtype object
+        object.__setattr__(self, "dtype", jnp.dtype(self.dtype))
+
+    @property
+    def store_rollouts(self) -> bool:
+        """Lazy-storage contract: rollout states/actions are only materialized when a
+        terminal cost needs them (reference mppi.py:307-331; pinned by
+        tests/test_mppi.py:241-260) or when M>1 (mppi.py:350-351)."""
+        return self.has_terminal_cost or self.M > 1
+
+
+class MPPIParams(NamedTuple):
+    """Tunable (traced) hyperparameters — a jit-transparent pytree.
+
+    ``noise_sigma`` is always stored as a full (nu, nu) covariance; the Cholesky
+    factor and inverse are derived *inside* the jitted solve (nu is tiny, the cost is
+    negligible) which guarantees the sampler can never go stale when a tuner swaps
+    sigma — fixing the vestigial ``noise_dist`` bug noted in SURVEY.md §2.2 A5.
+    """
+
+    noise_mu: jax.Array  # (nu,)
+    noise_sigma: jax.Array  # (nu, nu)
+    lambda_: jax.Array  # scalar
+    u_min: jax.Array  # (nu,) broadcastable; -inf when unbounded (mppi.py:120-126)
+    u_max: jax.Array  # (nu,)
+    u_init: jax.Array  # (nu,)
+
+
+class SMPPIParams(NamedTuple):
+    """SMPPI adds action-space bounds and smoothing weights (mppi.py:456-477)."""
+
+    base: MPPIParams
+    action_min: jax.Array  # (nu,)
+    action_max: jax.Array  # (nu,)
+    w_action_seq_cost: jax.Array  # scalar
+    delta_t: jax.Array  # scalar
+
+
+class KMPPIParams(NamedTuple):
+    """KMPPI adds precomputed kernel-interpolation operators.
+
+    The reference re-solves ``linalg.solve(Ktktk, K)`` per call under torch.vmap
+    (mppi.py:636-655).  On TPU both operators are constant for a fixed horizon, so we
+    precompute them once: deparameterization becomes a single (T, nsp) @ (K, nsp, nu)
+    MXU matmul (SURVEY.md §3.3 boundary note).
+    """
+
+    base: MPPIParams
+    interp_full: jax.Array  # (T, nsp):   K(Hs,Tk) @ inv(K(Tk,Tk))
+    interp_shift: jax.Array  # (nsp, nsp): K(Tk+1,Tk) @ inv(K(Tk,Tk))
+
+
+class MPPIState(NamedTuple):
+    """Controller state threaded through solves — the explicit-pytree analog of the
+    reference's mutable ``self.U`` (mppi.py:140-145) plus the PRNG key that torch
+    keeps in global state."""
+
+    U: jax.Array  # (T, nu) nominal control sequence
+    key: jax.Array  # PRNG key
+
+
+class SMPPIState(NamedTuple):
+    U: jax.Array  # (T, nu) — lifted action-*rate* sequence (mppi.py:484)
+    action_sequence: jax.Array  # (T, nu) — commanded actions (mppi.py:481)
+    key: jax.Array
+
+
+class KMPPIState(NamedTuple):
+    U: jax.Array  # (T, nu)
+    theta: jax.Array  # (nsp, nu) control points (mppi.py:600)
+    key: jax.Array
+
+
+class Artifacts(NamedTuple):
+    """Per-solve introspection artifacts, the functional equivalent of the
+    reference's public-ish attributes (mppi.py:179-184, 407-417; consumed by e.g.
+    tests/smooth_mppi.py:346-359)."""
+
+    cost_total: jax.Array  # (K,)
+    cost_total_non_zero: jax.Array  # (K,)
+    omega: jax.Array  # (K,)
+    noise: jax.Array  # (K, T, nu) rectified noise
+    perturbed_action: jax.Array  # (K, T, nu)
+    states: Optional[jax.Array]  # (M, K, T, nx) or None (lazy-storage contract)
+    actions: Optional[jax.Array]  # (M, K, T, nu) unscaled, or None
+
+
+def as_dtype_array(value, dtype, shape=None):
+    """Coerce python scalars / numpy / jax arrays to a jnp array of ``dtype``."""
+    arr = jnp.asarray(value, dtype=dtype)
+    if shape is not None:
+        arr = jnp.broadcast_to(arr, shape)
+    return arr

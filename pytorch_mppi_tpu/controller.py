@@ -1,0 +1,813 @@
+"""Stateful controller wrappers over the pure-functional TPU solve core.
+
+These classes mirror the reference API surface (``/root/reference/src/pytorch_mppi/
+mppi.py``: ``MPPI``, ``SMPPI``, ``KMPPI``, ``MPPI_Batched``) so a pytorch_mppi user
+can switch with minimal changes, while the actual computation is the jitted
+functional core in :mod:`pytorch_mppi_tpu.ops.solve`:
+
+  * hyperparameters (sigma/mu/lambda/bounds) live in a traced params pytree — the
+    autotune layer mutates them with **zero recompilation**;
+  * controller state (U / action_sequence / theta + PRNG key) is an explicit pytree;
+  * ``command()`` is one device dispatch; artifacts stay on-device until read.
+
+Differences from the reference, by TPU necessity (SURVEY.md §7 hard parts):
+  * dynamics/cost must be JAX-traceable functions (document (b));
+  * stochastic dynamics take an explicit PRNG key (``stochastic_dynamics=True``);
+  * a ``SpecificActionSampler`` must declare ``num_trajectories`` statically;
+  * seeding is per-controller (``seed=``/``key=``) instead of torch global RNG.
+"""
+from __future__ import annotations
+
+import logging
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import (
+    KMPPIParams,
+    KMPPIState,
+    MPPIConfig,
+    MPPIParams,
+    MPPIState,
+    SMPPIParams,
+    SMPPIState,
+)
+from .ops import solve as _solve
+from .ops.kernels import RBFKernel, TimeKernel, interpolation_operators
+
+logger = logging.getLogger(__name__)
+
+__all__ = [
+    "MPPI",
+    "SMPPI",
+    "KMPPI",
+    "MPPI_Batched",
+    "SpecificActionSampler",
+]
+
+
+class SpecificActionSampler:
+    """Hook to inject domain-knowledge action trajectories into the sample set
+    (reference mppi.py:16-32).
+
+    JAX requirement: the number of injected trajectories must be static — set
+    ``num_trajectories`` (defaults to 1).  ``sample_trajectories`` must be traceable
+    and return an array reshapeable to (num_trajectories, T, nu).
+    """
+
+    num_trajectories: int = 1
+
+    def __init__(self):
+        self.start_idx = 0
+        self.end_idx = 0
+        self.slice = slice(0, 0)
+
+    def sample_trajectories(self, state, info):
+        raise NotImplementedError
+
+    def specific_dynamics(self, next_state, state, action, t):
+        """Post-process per-step dynamics; defaults to identity (mppi.py:25-27)."""
+        return next_state
+
+    def register_sample_start_end(self, start_idx, end_idx):
+        self.start_idx = start_idx
+        self.end_idx = end_idx
+        self.slice = slice(start_idx, end_idx)
+
+
+def _resolve_device(device):
+    if device is None or isinstance(device, jax.Device):
+        return device
+    if isinstance(device, str):
+        name = device.lower()
+        for d in jax.devices():
+            if d.platform == name:
+                return d
+        # fall back to any cpu host device
+        try:
+            return jax.devices(name)[0]
+        except RuntimeError:
+            logger.warning("device %r not found; using default %s", device, jax.devices()[0])
+            return None
+    raise TypeError(f"unsupported device spec: {device!r}")
+
+
+def _coerce_sigma(noise_sigma, dtype=None):
+    """Normalize noise_sigma to a (nu, nu) matrix, mirroring the reference's 1-D
+    edge-case handling (mppi.py:94, 103-106).  A 1-D vector of length nu > 1 is
+    interpreted as a diagonal (superset of the reference)."""
+    sigma = jnp.asarray(noise_sigma, dtype=dtype)
+    if sigma.ndim == 0:
+        sigma = sigma.reshape(1, 1)
+    elif sigma.ndim == 1:
+        sigma = sigma.reshape(-1, 1) if sigma.shape[0] == 1 else jnp.diag(sigma)
+    if sigma.ndim != 2 or sigma.shape[0] != sigma.shape[1]:
+        raise ValueError(
+            f"noise_sigma must be a scalar, (nu,) diagonal, or (nu, nu) covariance; "
+            f"got shape {sigma.shape}"
+        )
+    return sigma
+
+
+def _complete_bounds(u_min, u_max, nu, dtype):
+    """Symmetric-bound completion + resolve to +-inf clamps (mppi.py:108-126)."""
+    if u_max is not None and u_min is None:
+        u_max = jnp.asarray(u_max, dtype)
+        u_min = -u_max
+    if u_min is not None and u_max is None:
+        u_min = jnp.asarray(u_min, dtype)
+        u_max = -u_min
+    if u_min is None:
+        lo = jnp.full((nu,), -jnp.inf, dtype)
+        hi = jnp.full((nu,), jnp.inf, dtype)
+        bounded = False
+    else:
+        lo = jnp.broadcast_to(jnp.asarray(u_min, dtype), (nu,)) + 0
+        hi = jnp.broadcast_to(jnp.asarray(u_max, dtype), (nu,)) + 0
+        bounded = True
+    return lo, hi, bounded
+
+
+class MPPI:
+    """Model Predictive Path Integral control, TPU-native.
+
+    Batch-samples K trajectories per Williams et al. 2017 Alg. 2 — the same
+    algorithm and feature surface as the reference ``MPPI`` (mppi.py:35-448), with
+    the whole solve compiled into a single XLA program.
+
+    :param dynamics: traceable function(state, action) -> next_state on (K, nx)/(K, nu)
+        batches; with ``step_dependent_dynamics`` it also takes the timestep, and with
+        ``stochastic_dynamics`` a trailing PRNG key.
+    :param running_cost: traceable function(state, action) -> (K,) costs, evaluated at
+        the *post-dynamics* state exactly as the reference does (mppi.py:314-318).
+    :param seed/key: explicit PRNG seeding (replaces torch.manual_seed).
+    """
+
+    def __init__(
+        self,
+        dynamics: Callable,
+        running_cost: Callable,
+        nx: int,
+        noise_sigma,
+        num_samples: int = 100,
+        horizon: int = 15,
+        device=None,
+        terminal_state_cost: Optional[Callable] = None,
+        lambda_: float = 1.0,
+        noise_mu=None,
+        u_min=None,
+        u_max=None,
+        u_init=None,
+        U_init=None,
+        u_scale: float = 1.0,
+        u_per_command: int = 1,
+        step_dependent_dynamics: bool = False,
+        rollout_samples: int = 1,
+        rollout_var_cost: float = 0.0,
+        rollout_var_discount: float = 0.95,
+        sample_null_action: bool = False,
+        specific_action_sampler: Optional[SpecificActionSampler] = None,
+        noise_abs_cost: bool = False,
+        stochastic_dynamics: bool = False,
+        seed: Optional[int] = 0,
+        key=None,
+    ):
+        self.d = _resolve_device(device)
+        sigma = _coerce_sigma(noise_sigma)
+        self.dtype = sigma.dtype
+        self.K = int(num_samples)
+        self.T = int(horizon)
+        self.nx = int(nx)
+        self.nu = int(sigma.shape[0])
+        self.M = int(rollout_samples)
+
+        if noise_mu is None:
+            noise_mu = jnp.zeros(self.nu, dtype=self.dtype)
+        noise_mu = jnp.broadcast_to(jnp.asarray(noise_mu, self.dtype).reshape(-1), (self.nu,)) + 0
+        if u_init is None:
+            u_init = jnp.zeros_like(noise_mu)
+        u_init = jnp.broadcast_to(jnp.asarray(u_init, self.dtype).reshape(-1), (self.nu,)) + 0
+
+        lo, hi, self._bounded = _complete_bounds(u_min, u_max, self.nu, self.dtype)
+
+        self.u_scale = float(u_scale)
+        self.u_per_command = int(u_per_command)
+        self.F = dynamics
+        self.running_cost = running_cost
+        self.terminal_state_cost = terminal_state_cost
+        self.step_dependency = bool(step_dependent_dynamics)
+        self.sample_null_action = bool(sample_null_action)
+        self.specific_action_sampler = specific_action_sampler
+        self.noise_abs_cost = bool(noise_abs_cost)
+        self.stochastic_dynamics = bool(stochastic_dynamics)
+        self.rollout_var_cost = float(rollout_var_cost)
+        self.rollout_var_discount = float(rollout_var_discount)
+
+        self._params = MPPIParams(
+            noise_mu=noise_mu,
+            noise_sigma=sigma,
+            lambda_=jnp.asarray(lambda_, self.dtype),
+            u_min=lo,
+            u_max=hi,
+            u_init=u_init,
+        )
+        if self.d is not None:
+            self._params = jax.device_put(self._params, self.d)
+
+        if key is None:
+            key = jax.random.PRNGKey(0 if seed is None else int(seed))
+        self._key = key
+
+        n_specific = 0
+        if specific_action_sampler is not None:
+            n_specific = int(getattr(specific_action_sampler, "num_trajectories", 1))
+            i0 = 1 if sample_null_action else 0
+            specific_action_sampler.register_sample_start_end(i0, i0 + n_specific)
+        self._n_specific = n_specific
+
+        self._build_config()
+        self._build_step_fns()
+
+        # initial nominal trajectory: user-provided or sampled noise (mppi.py:140-145)
+        if U_init is not None:
+            U0 = jnp.asarray(U_init, self.dtype).reshape(self.T, self.nu)
+        else:
+            U0 = self._sample_noise_eager((self.T,))
+        self._state = self._initial_state(U0)
+
+        # per-solve artifacts (reference mppi.py:179-184)
+        self.state = None
+        self.info = None
+        self.cost_total = None
+        self.cost_total_non_zero = None
+        self.omega = None
+        self.noise = None
+        self.perturbed_action = None
+        self.states = None
+        self.actions = None
+
+    # -- construction helpers ------------------------------------------------
+
+    def _build_config(self):
+        self.config = MPPIConfig(
+            nx=self.nx,
+            nu=self.nu,
+            K=self.K,
+            T=self.T,
+            M=self.M,
+            u_scale=self.u_scale,
+            u_per_command=self.u_per_command,
+            rollout_var_cost=self.rollout_var_cost,
+            rollout_var_discount=self.rollout_var_discount,
+            sample_null_action=self.sample_null_action,
+            noise_abs_cost=self.noise_abs_cost,
+            has_terminal_cost=self.terminal_state_cost is not None,
+            num_specific_trajectories=self._n_specific,
+            step_dependent_dynamics=self.step_dependency,
+            stochastic_dynamics=self.stochastic_dynamics,
+            dtype=self.dtype,
+        )
+
+    def _sampler_fns(self):
+        s = self.specific_action_sampler
+        if s is None:
+            return None, None
+        return s.sample_trajectories, s.specific_dynamics
+
+    def _build_step_fns(self):
+        sample_traj, specific_dyn = self._sampler_fns()
+        self._fns = _solve.make_mppi_step(
+            self.config,
+            self.F,
+            self.running_cost,
+            terminal_state_cost=self.terminal_state_cost,
+            sample_trajectories=sample_traj,
+            specific_dynamics=specific_dyn,
+        )
+
+    def _initial_state(self, U0):
+        return MPPIState(U=U0, key=self._next_key())
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _sample_noise_eager(self, leading_shape):
+        """Eager N(mu, Sigma) sampling for init/reset (mppi.py:144-145, 286-290)."""
+        return _solve.sample_noise(
+            self._next_key(), leading_shape, self._params, self.dtype
+        )
+
+    # -- tunable-hyperparameter views (autotune mutates these, zero recompile) --
+
+    @property
+    def noise_sigma(self):
+        return self._params.noise_sigma
+
+    @noise_sigma.setter
+    def noise_sigma(self, value):
+        self._params = self._params._replace(noise_sigma=_coerce_sigma(value, self.dtype))
+
+    @property
+    def noise_mu(self):
+        return self._params.noise_mu
+
+    @noise_mu.setter
+    def noise_mu(self, value):
+        mu = jnp.broadcast_to(jnp.asarray(value, self.dtype).reshape(-1), (self.nu,)) + 0
+        self._params = self._params._replace(noise_mu=mu)
+
+    @property
+    def lambda_(self):
+        return float(self._params.lambda_)
+
+    @lambda_.setter
+    def lambda_(self, value):
+        self._params = self._params._replace(lambda_=jnp.asarray(value, self.dtype))
+
+    @property
+    def noise_sigma_inv(self):
+        return jnp.linalg.inv(self._params.noise_sigma)
+
+    @property
+    def u_min(self):
+        return self._params.u_min
+
+    @property
+    def u_max(self):
+        return self._params.u_max
+
+    @property
+    def u_init(self):
+        return self._params.u_init
+
+    @property
+    def U(self):
+        return self._state.U
+
+    @U.setter
+    def U(self, value):
+        self._state = self._state._replace(U=jnp.asarray(value, self.dtype))
+
+    # -- public API ----------------------------------------------------------
+
+    def get_params(self):
+        return (
+            f"K={self.K} T={self.T} M={self.M} lambda={self.lambda_} "
+            f"noise_mu={np.asarray(self.noise_mu)} noise_sigma={np.asarray(self.noise_sigma)}"
+        ).replace("\n", ",")
+
+    def compile(self, **kwargs):
+        """No-op for API parity: the solve is always XLA-compiled (the analog of the
+        reference's torch.compile hook, mppi.py:208-215)."""
+        return self
+
+    def get_action_sequence(self):
+        return self._state.U
+
+    def shift_nominal_trajectory(self):
+        """Shift the nominal trajectory forward one step (mppi.py:232-238)."""
+        U = jnp.roll(self._state.U, -1, axis=0).at[-1].set(self._params.u_init)
+        self._state = self._state._replace(U=U)
+
+    def change_horizon(self, horizon: int):
+        """Truncate/extend U and re-specialize the solver (mppi.py:277-284)."""
+        horizon = int(horizon)
+        U = self._state.U
+        if horizon < U.shape[0]:
+            U = U[:horizon]
+        elif horizon > U.shape[0]:
+            pad = jnp.broadcast_to(self._params.u_init, (horizon - U.shape[0], self.nu))
+            U = jnp.concatenate([U, pad], axis=0)
+        self.T = horizon
+        self._build_config()
+        self._build_step_fns()
+        self._state = self._state._replace(U=U)
+
+    def reset(self):
+        """Clear controller state after a trial: resample U (mppi.py:286-290)."""
+        self._state = self._state._replace(U=self._sample_noise_eager((self.T,)))
+
+    def command(self, state, shift_nominal_trajectory: bool = True, info=None):
+        """One MPC solve (reference mppi.py:240-252).
+
+        :param state: (nx,) or (K, nx) current state (array-like)
+        :returns: (nu,) action, or (u_per_command, nu) when u_per_command > 1
+        """
+        self.info = info
+        x0 = jnp.asarray(state, self.dtype)
+        if x0.shape[-1] != self.nx:
+            raise ValueError(
+                f"state must have trailing dimension nx={self.nx}; got shape {x0.shape}"
+            )
+        fn = self._fns.step if shift_nominal_trajectory else self._fns.step_no_shift
+        new_state, action, artifacts = fn(self._params, self._state, x0, info)
+        self._state = new_state
+        self.state = x0
+        self._store_artifacts(artifacts)
+        return action
+
+    def _store_artifacts(self, artifacts):
+        self.cost_total = artifacts.cost_total
+        self.cost_total_non_zero = artifacts.cost_total_non_zero
+        self.omega = artifacts.omega
+        self.noise = artifacts.noise
+        self.perturbed_action = artifacts.perturbed_action
+        self.states = artifacts.states
+        self.actions = artifacts.actions
+
+    def get_rollouts(self, state, num_rollouts: int = 1, U=None):
+        """Roll the nominal action sequence from given states (mppi.py:425-448).
+
+        :returns: (num_rollouts, T, nx) trajectories
+        """
+        if U is None:
+            U = self.get_action_sequence()
+        key = self._next_key() if self.stochastic_dynamics else None
+        return self._fns.get_rollouts(
+            self._params, state, U, key=key, num_rollouts=num_rollouts
+        )
+
+
+class SMPPI(MPPI):
+    """Smooth MPPI: samples in action-derivative space and penalizes action change
+    (reference mppi.py:451-570; arXiv:2112.09988)."""
+
+    def __init__(
+        self,
+        *args,
+        w_action_seq_cost: float = 1.0,
+        delta_t: float = 1.0,
+        U_init=None,
+        action_min=None,
+        action_max=None,
+        **kwargs,
+    ):
+        self._w_action_seq_cost = float(w_action_seq_cost)
+        self._delta_t = float(delta_t)
+        self._action_min_arg = action_min
+        self._action_max_arg = action_max
+        self._U_init_arg = U_init
+        super().__init__(*args, U_init=None, **kwargs)
+
+    @property
+    def w_action_seq_cost(self):
+        return float(self._smppi_params.w_action_seq_cost)
+
+    @property
+    def delta_t(self):
+        return float(self._smppi_params.delta_t)
+
+    @property
+    def action_min(self):
+        return self._smppi_params.action_min
+
+    @property
+    def action_max(self):
+        return self._smppi_params.action_max
+
+    @property
+    def action_sequence(self):
+        return self._state.action_sequence
+
+    @action_sequence.setter
+    def action_sequence(self, value):
+        self._state = self._state._replace(
+            action_sequence=jnp.asarray(value, self.dtype)
+        )
+
+    def _build_config(self):
+        super()._build_config()
+        self.config = self.config.__class__(
+            **{**self.config.__dict__, "smppi": True}
+        )
+
+    def _full_params(self):
+        lo, hi, _ = _complete_bounds(
+            self._action_min_arg, self._action_max_arg, self.nu, self.dtype
+        )
+        return SMPPIParams(
+            base=self._params,
+            action_min=lo,
+            action_max=hi,
+            w_action_seq_cost=jnp.asarray(self._w_action_seq_cost, self.dtype),
+            delta_t=jnp.asarray(self._delta_t, self.dtype),
+        )
+
+    def _build_step_fns(self):
+        sample_traj, specific_dyn = self._sampler_fns()
+        self._fns = _solve.make_smppi_step(
+            self.config,
+            self.F,
+            self.running_cost,
+            terminal_state_cost=self.terminal_state_cost,
+            sample_trajectories=sample_traj,
+            specific_dynamics=specific_dyn,
+        )
+
+    def _initial_state(self, U0):
+        # smooth formulation works better starting from 0 controls (mppi.py:479-484)
+        if self._U_init_arg is not None:
+            action_seq = jnp.asarray(self._U_init_arg, self.dtype).reshape(
+                self.T, self.nu
+            )
+        else:
+            action_seq = jnp.zeros((self.T, self.nu), self.dtype)
+        return SMPPIState(
+            U=jnp.zeros((self.T, self.nu), self.dtype),
+            action_sequence=action_seq,
+            key=self._next_key(),
+        )
+
+    def get_params(self):
+        return f"{super().get_params()} w={self._w_action_seq_cost} t={self._delta_t}"
+
+    def get_action_sequence(self):
+        return self._state.action_sequence
+
+    def shift_nominal_trajectory(self):
+        """Roll both sequences; repeat the last commanded action (mppi.py:489-493)."""
+        U = jnp.roll(self._state.U, -1, axis=0).at[-1].set(self._params.u_init)
+        seq = jnp.roll(self._state.action_sequence, -1, axis=0)
+        seq = seq.at[-1].set(seq[-2])
+        self._state = self._state._replace(U=U, action_sequence=seq)
+
+    def change_horizon(self, horizon: int):
+        horizon = int(horizon)
+        U, seq = self._state.U, self._state.action_sequence
+        if horizon < U.shape[0]:
+            U, seq = U[:horizon], seq[:horizon]
+        elif horizon > U.shape[0]:
+            extend = horizon - U.shape[0]
+            U = jnp.concatenate(
+                [U, jnp.broadcast_to(self._params.u_init, (extend, self.nu))], axis=0
+            )
+            seq = jnp.concatenate(
+                [seq, jnp.broadcast_to(seq[-1], (extend, self.nu))], axis=0
+            )
+        self.T = horizon
+        self._build_config()
+        self._build_step_fns()
+        self._state = self._state._replace(U=U, action_sequence=seq)
+
+    def reset(self):
+        """Zero both sequences (mppi.py:498-500)."""
+        z = jnp.zeros((self.T, self.nu), self.dtype)
+        self._state = self._state._replace(U=z, action_sequence=z)
+
+    def command(self, state, shift_nominal_trajectory: bool = True, info=None):
+        self.info = info
+        x0 = jnp.asarray(state, self.dtype)
+        self._smppi_params = self._full_params()
+        fn = self._fns.step if shift_nominal_trajectory else self._fns.step_no_shift
+        new_state, action, artifacts = fn(self._smppi_params, self._state, x0, info)
+        self._state = new_state
+        self.state = x0
+        self._store_artifacts(artifacts)
+        return action
+
+
+class KMPPI(MPPI):
+    """Kernel MPPI: noise sampled at control points, kernel-interpolated to the full
+    horizon (reference mppi.py:593-688)."""
+
+    def __init__(
+        self,
+        *args,
+        num_support_pts: Optional[int] = None,
+        kernel: TimeKernel = None,
+        **kwargs,
+    ):
+        self._nsp_arg = num_support_pts
+        self.interpolation_kernel = kernel if kernel is not None else RBFKernel()
+        super().__init__(*args, **kwargs)
+
+    def _build_config(self):
+        # nsp resolved once (default T//2, mppi.py:598); it stays fixed across
+        # change_horizon because theta's shape depends on it
+        if not hasattr(self, "num_support_pts"):
+            self.num_support_pts = int(self._nsp_arg or self.T // 2)
+        super()._build_config()
+        self.config = self.config.__class__(
+            **{**self.config.__dict__, "num_support_pts": self.num_support_pts}
+        )
+        interp_full, interp_shift = interpolation_operators(
+            self.interpolation_kernel, self.T, self.num_support_pts, self.dtype
+        )
+        self._interp_full = interp_full
+        self._interp_shift = interp_shift
+
+    def _full_params(self):
+        return KMPPIParams(
+            base=self._params,
+            interp_full=self._interp_full,
+            interp_shift=self._interp_shift,
+        )
+
+    def _build_step_fns(self):
+        sample_traj, specific_dyn = self._sampler_fns()
+        self._fns = _solve.make_kmppi_step(
+            self.config,
+            self.F,
+            self.running_cost,
+            terminal_state_cost=self.terminal_state_cost,
+            sample_trajectories=sample_traj,
+            specific_dynamics=specific_dyn,
+        )
+
+    def _initial_state(self, U0):
+        return KMPPIState(
+            U=U0,
+            theta=jnp.zeros((self.num_support_pts, self.nu), self.dtype),
+            key=self._next_key(),
+        )
+
+    @property
+    def theta(self):
+        return self._state.theta
+
+    @theta.setter
+    def theta(self, value):
+        self._state = self._state._replace(theta=jnp.asarray(value, self.dtype))
+
+    def get_params(self):
+        return (
+            f"{super().get_params()} num_support_pts={self.num_support_pts} "
+            f"kernel={self.interpolation_kernel}"
+        )
+
+    def reset(self):
+        """Resample U and zero theta (mppi.py:613-615)."""
+        super().reset()
+        self._state = self._state._replace(theta=jnp.zeros_like(self._state.theta))
+
+    def shift_nominal_trajectory(self):
+        """Roll U; re-interpolate theta at Tk+1 (mppi.py:617-619)."""
+        U = jnp.roll(self._state.U, -1, axis=0).at[-1].set(self._params.u_init)
+        theta = self._interp_shift @ self._state.theta
+        self._state = self._state._replace(U=U, theta=theta)
+
+    def change_horizon(self, horizon: int):
+        """Extends the reference (which leaves interpolation stale, mppi.py:277-284):
+        rebuilds the interpolation operators for the new horizon."""
+        super().change_horizon(horizon)
+
+    def deparameterize_to_trajectory_single(self, theta):
+        """(nsp, nu) control points -> (T, nu) trajectory (mppi.py:650-651)."""
+        theta = jnp.asarray(theta, self.dtype)
+        return self._interp_full @ theta, self._interp_full
+
+    def deparameterize_to_trajectory_batch(self, theta):
+        """(K, nsp, nu) -> (K, T, nu) via one MXU matmul (mppi.py:653-655)."""
+        theta = jnp.asarray(theta, self.dtype)
+        return jnp.einsum("ts,ksu->ktu", self._interp_full, theta), self._interp_full
+
+    def command(self, state, shift_nominal_trajectory: bool = True, info=None):
+        self.info = info
+        x0 = jnp.asarray(state, self.dtype)
+        params = self._full_params()
+        fn = self._fns.step if shift_nominal_trajectory else self._fns.step_no_shift
+        new_state, action, artifacts = fn(params, self._state, x0, info)
+        self._state = new_state
+        self.state = x0
+        self._store_artifacts(artifacts)
+        return action
+
+
+class MPPI_Batched:
+    """MPPI for N parallel plants sharing a single dynamics/cost call per step
+    (reference mppi.py:691-873).
+
+    Noise is shared across plants; the rollout runs on an (N·K,) flat batch; each
+    plant gets an independent softmax along K.  This is the scenario-batch entry
+    point that scales across a TPU mesh — see
+    :mod:`pytorch_mppi_tpu.parallel.sharded` for the pjit/shard_map version.
+    """
+
+    def __init__(
+        self,
+        dynamics: Callable,
+        running_cost: Callable,
+        nx: int,
+        noise_sigma,
+        num_envs: int,
+        num_samples: int = 100,
+        horizon: int = 15,
+        device=None,
+        lambda_: float = 1.0,
+        noise_mu=None,
+        u_min=None,
+        u_max=None,
+        u_init=None,
+        u_scale: float = 1.0,
+        u_per_command: int = 1,
+        step_dependent_dynamics: bool = False,
+        noise_abs_cost: bool = False,
+        stochastic_dynamics: bool = False,
+        seed: Optional[int] = 0,
+        key=None,
+    ):
+        self.d = _resolve_device(device)
+        sigma = _coerce_sigma(noise_sigma)
+        self.dtype = sigma.dtype
+        self.N = int(num_envs)
+        self.K = int(num_samples)
+        self.T = int(horizon)
+        self.nx = int(nx)
+        self.nu = int(sigma.shape[0])
+        self.u_scale = float(u_scale)
+        self.u_per_command = int(u_per_command)
+
+        if noise_mu is None:
+            noise_mu = jnp.zeros(self.nu, dtype=self.dtype)
+        noise_mu = jnp.broadcast_to(jnp.asarray(noise_mu, self.dtype).reshape(-1), (self.nu,)) + 0
+        if u_init is None:
+            u_init = jnp.zeros_like(noise_mu)
+        u_init = jnp.broadcast_to(jnp.asarray(u_init, self.dtype).reshape(-1), (self.nu,)) + 0
+        lo, hi, _ = _complete_bounds(u_min, u_max, self.nu, self.dtype)
+
+        self._params = MPPIParams(
+            noise_mu=noise_mu,
+            noise_sigma=sigma,
+            lambda_=jnp.asarray(lambda_, self.dtype),
+            u_min=lo,
+            u_max=hi,
+            u_init=u_init,
+        )
+        self.config = MPPIConfig(
+            nx=self.nx,
+            nu=self.nu,
+            K=self.K,
+            T=self.T,
+            u_scale=self.u_scale,
+            u_per_command=self.u_per_command,
+            noise_abs_cost=bool(noise_abs_cost),
+            step_dependent_dynamics=bool(step_dependent_dynamics),
+            stochastic_dynamics=bool(stochastic_dynamics),
+            dtype=self.dtype,
+        )
+        self._fns = _solve.make_batched_step(
+            self.config, self.N, dynamics, running_cost
+        )
+        if key is None:
+            key = jax.random.PRNGKey(0 if seed is None else int(seed))
+        self._key = key
+        self._state = _solve.BatchedState(
+            U=self._sample_noise_eager((self.N, self.T)), key=self._next_key()
+        )
+        self.cost_total = None
+        self.omega = None
+
+    def _next_key(self):
+        self._key, sub = jax.random.split(self._key)
+        return sub
+
+    def _sample_noise_eager(self, leading_shape):
+        return _solve.sample_noise(
+            self._next_key(), leading_shape, self._params, self.dtype
+        )
+
+    @property
+    def U(self):
+        return self._state.U
+
+    @U.setter
+    def U(self, value):
+        self._state = self._state._replace(U=jnp.asarray(value, self.dtype))
+
+    @property
+    def noise_sigma(self):
+        return self._params.noise_sigma
+
+    @property
+    def lambda_(self):
+        return float(self._params.lambda_)
+
+    @property
+    def u_min(self):
+        return self._params.u_min
+
+    @property
+    def u_max(self):
+        return self._params.u_max
+
+    def compile(self, **kwargs):
+        return self
+
+    def reset(self):
+        self._state = self._state._replace(
+            U=self._sample_noise_eager((self.N, self.T))
+        )
+
+    def command(self, states, shift_nominal_trajectory: bool = True):
+        """:param states: (N, nx) stacked plant states
+        :returns: (N, nu) actions, or (N, u_per_command, nu)"""
+        x0 = jnp.asarray(states, self.dtype)
+        fn = self._fns.step if shift_nominal_trajectory else self._fns.step_no_shift
+        new_state, action, artifacts = fn(self._params, self._state, x0)
+        self._state = new_state
+        self.cost_total = artifacts.cost_total
+        self.omega = artifacts.omega
+        return action

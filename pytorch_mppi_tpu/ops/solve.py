@@ -1,0 +1,652 @@
+"""Pure-functional MPPI solve core, jit-specialized per configuration.
+
+This is the TPU-native redesign of the reference controller's hot path
+(``/root/reference/src/pytorch_mppi/mppi.py:240-448``).  Where the reference runs an
+eager Python loop that launches ~2·T kernels per solve (mppi.py:312-331), here the
+*entire* solve — noise sampling, specific-action injection, bound rectification,
+T-step rollout, running/terminal costs, softmax weighting and the nominal-trajectory
+update — is one traced program under ``jax.jit``:
+
+  * the T-step rollout is a ``lax.scan`` (sequential by nature, SURVEY.md §5.7);
+  * the K (samples) and M (stochastic rollouts) axes are flat batch dimensions that
+    XLA tiles onto the VPU/MXU;
+  * the weighted update is a single (K,)·(K, T·nu) matmul on the MXU;
+  * one host→device transfer in (x0), one device→host transfer out (the action, and
+    only if the caller forces it).
+
+All feature flags are static fields of :class:`~pytorch_mppi_tpu.config.MPPIConfig`,
+so each configuration compiles to a branch-free program — the trace-time analog of
+the reference's init-time closure resolution (mppi.py:120-199).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..config import (
+    Artifacts,
+    KMPPIParams,
+    KMPPIState,
+    MPPIConfig,
+    MPPIParams,
+    MPPIState,
+    SMPPIParams,
+    SMPPIState,
+)
+
+# ---------------------------------------------------------------------------
+# Small numeric helpers
+# ---------------------------------------------------------------------------
+
+
+def _sigma_factors(noise_sigma: jax.Array):
+    """Cholesky factor and inverse of the (nu, nu) control covariance.
+
+    Derived inside the traced solve so tuner updates to sigma can never go stale
+    (fixes the vestigial ``noise_dist`` issue, reference autotune.py:161,188).
+    nu is tiny (<= a few tens) so this costs nothing next to the rollout.  For a
+    diagonal sigma, cholesky == diag(sqrt) and the math reduces exactly to the
+    reference's diagonal fast path (mppi.py:131-139, 186-206).
+    """
+    chol = jnp.linalg.cholesky(noise_sigma)
+    sigma_inv = jnp.linalg.inv(noise_sigma)
+    return chol, sigma_inv
+
+
+def sample_noise(key: jax.Array, leading_shape, params: MPPIParams, dtype) -> jax.Array:
+    """Draw N(mu, Sigma) control noise of shape ``(*leading_shape, nu)``.
+
+    Equivalent of reference ``MPPI._sample_noise`` (mppi.py:201-206) with an explicit
+    PRNG key instead of torch global RNG state.
+    """
+    nu = params.noise_mu.shape[-1]
+    chol, _ = _sigma_factors(params.noise_sigma)
+    z = jax.random.normal(key, (*leading_shape, nu), dtype=dtype)
+    return z @ chol.T + params.noise_mu
+
+
+def compute_weighting(cost_total: jax.Array, lambda_: jax.Array, axis=-1):
+    """beta/eta/omega softmax weighting (reference mppi.py:12-13, 254-259)."""
+    beta = jnp.min(cost_total, axis=axis, keepdims=True)
+    cost_total_non_zero = jnp.exp(-(cost_total - beta) / lambda_)
+    eta = jnp.sum(cost_total_non_zero, axis=axis, keepdims=True)
+    omega = cost_total_non_zero / eta
+    return cost_total_non_zero, omega
+
+
+def _action_cost(noise: jax.Array, sigma_inv: jax.Array, lambda_, noise_abs_cost: bool):
+    """lambda * noise @ Sigma^-1, optional |noise| variant (mppi.py:186-199)."""
+    n = jnp.abs(noise) if noise_abs_cost else noise
+    return lambda_ * (n @ sigma_inv)
+
+
+def _bound(action: jax.Array, lo: jax.Array, hi: jax.Array) -> jax.Array:
+    """Branch-free clamp; lo/hi are +-inf when unbounded (mppi.py:120-126, 419-420)."""
+    return jnp.clip(action, lo, hi)
+
+
+# ---------------------------------------------------------------------------
+# Dynamics / cost adapters
+# ---------------------------------------------------------------------------
+
+
+def wrap_dynamics(config: MPPIConfig, dynamics: Callable) -> Callable:
+    """Resolve the user dynamics to a uniform ``(state, u, t, key) -> next_state``
+    signature at trace time (analog of reference init wrapping, mppi.py:147-156)."""
+    if config.stochastic_dynamics:
+        if config.step_dependent_dynamics:
+            return dynamics  # (state, u, t, key)
+        return lambda s, u, t, k: dynamics(s, u, k)
+    if config.step_dependent_dynamics:
+        return lambda s, u, t, k: dynamics(s, u, t)
+    return lambda s, u, t, k: dynamics(s, u)
+
+
+def wrap_cost(config: MPPIConfig, running_cost: Callable) -> Callable:
+    if config.step_dependent_dynamics:
+        return running_cost
+    return lambda s, u, t: running_cost(s, u)
+
+
+# ---------------------------------------------------------------------------
+# Rollout engine (the hot loop)
+# ---------------------------------------------------------------------------
+
+
+def rollout_costs(
+    config: MPPIConfig,
+    dynamics: Callable,  # already wrapped: (state, u, t, key) -> next_state
+    running_cost: Callable,  # already wrapped: (state, u, t) -> cost
+    terminal_state_cost: Optional[Callable],
+    specific_dynamics: Optional[Callable],
+    params: MPPIParams,
+    x0: jax.Array,  # (nx,) or (K, nx), already coerced to config.dtype
+    perturbed_actions: jax.Array,  # (K, T, nu) unscaled
+    key: jax.Array,
+):
+    """T-step rollout of K·M trajectories, returning (cost_total (K,), states, actions).
+
+    Functional fusion of reference ``_compute_rollout_costs_{single,multi}``
+    (mppi.py:292-373): M is folded into the batch axis, the running cost is evaluated
+    at the *next* state exactly as the reference does (mppi.py:314-318), and rollout
+    state/action storage obeys the lazy-storage contract (states/actions are only
+    materialized when a terminal cost or M>1 requires them, mppi.py:307-331).
+    """
+    K, T, nu = perturbed_actions.shape
+    M = config.M
+    nx_in = x0.shape[-1]
+    dtype = config.dtype
+
+    if x0.ndim == 2:  # (K, nx) sampled initial states (mppi.py:302-305)
+        state0 = x0
+    else:
+        state0 = jnp.broadcast_to(x0[None, :], (K, nx_in))
+    # fold M into the batch axis: (M*K, nx) flat batch, one dynamics call per step
+    state0 = jnp.broadcast_to(state0[None], (M, K, nx_in)).reshape(M * K, nx_in)
+
+    # (T, K, nu) scaled actions as scan inputs
+    u_scaled = jnp.swapaxes(perturbed_actions, 0, 1) * jnp.asarray(
+        config.u_scale, dtype
+    )
+    step_keys = jax.random.split(key, T) if config.stochastic_dynamics else jnp.zeros((T, 1), dtype=jnp.uint32)
+
+    store = config.store_rollouts
+    var_on = M > 1
+
+    def body(carry, inp):
+        state, cost_samples, cost_var = carry
+        u_t, t, k_t = inp  # u_t: (K, nu)
+        u_flat = jnp.broadcast_to(u_t[None], (M, K, nu)).reshape(M * K, nu)
+        next_state = dynamics(state, u_flat, t, k_t)
+        if specific_dynamics is not None:
+            # reference single path passes the *new* state for both args
+            # (mppi.py:315-317); multi path passes the previous state (mppi.py:358-360).
+            # We follow the multi-path (documented) signature: (next, prev, u, t).
+            s3 = next_state.reshape(M, K, -1)
+            p3 = state.reshape(M, K, -1)
+            u3 = u_flat.reshape(M, K, nu)
+            next_state = specific_dynamics(s3, p3, u3, t).reshape(M * K, -1)
+        c = running_cost(next_state, u_flat, t).reshape(M, K)
+        cost_samples = cost_samples + c
+        if var_on:
+            disc = jnp.asarray(config.rollout_var_discount, dtype) ** t.astype(dtype)
+            cost_var = cost_var + jnp.var(c, axis=0, ddof=1) * disc
+        ys = None
+        if store:
+            ys = (
+                next_state.reshape(M, K, -1)[..., : config.nx],
+                u_flat.reshape(M, K, nu),
+            )
+        return (next_state, cost_samples, cost_var), ys
+
+    init = (
+        state0,
+        jnp.zeros((M, K), dtype),
+        jnp.zeros((K,), dtype),
+    )
+    ts = jnp.arange(T)
+    (final_state, cost_samples, cost_var), ys = lax.scan(
+        body, init, (u_scaled, ts, step_keys)
+    )
+
+    states = actions = None
+    if store:
+        # (T, M, K, ·) -> (M, K, T, ·) to match the reference layout (mppi.py:309-310)
+        states = jnp.moveaxis(ys[0], 0, 2)
+        actions = jnp.moveaxis(ys[1], 0, 2)
+        if terminal_state_cost is not None:
+            c = terminal_state_cost(states, actions)
+            c = jnp.asarray(c, dtype)
+            # broadcast (K,) or (M, K) terminal costs onto cost_samples (mppi.py:324-328, 369-370)
+            cost_samples = cost_samples + c
+    cost_total = jnp.mean(cost_samples, axis=0)
+    if var_on:
+        cost_total = cost_total + cost_var * jnp.asarray(config.rollout_var_cost, dtype)
+    return cost_total, states, actions
+
+
+# ---------------------------------------------------------------------------
+# Specific-action injection
+# ---------------------------------------------------------------------------
+
+
+def inject_specific_actions(
+    config: MPPIConfig,
+    sample_trajectories: Optional[Callable],
+    perturbed_action: jax.Array,  # (K, T_or_nsp, nu)
+    x0: jax.Array,
+    info,
+):
+    """Overwrite leading rows of the sample set with domain-knowledge trajectories
+    (reference ``_sample_specific_actions``, mppi.py:387-400).  Row indices are
+    static, so this lowers to compile-time slice updates."""
+    i = 0
+    if config.sample_null_action:
+        perturbed_action = perturbed_action.at[0].set(0.0)
+        i = 1
+    n = config.num_specific_trajectories
+    if sample_trajectories is not None and n > 0:
+        acts = sample_trajectories(x0, info)
+        acts = jnp.asarray(acts, config.dtype).reshape(
+            n, perturbed_action.shape[1], perturbed_action.shape[2]
+        )
+        perturbed_action = lax.dynamic_update_slice(perturbed_action, acts, (i, 0, 0))
+    return perturbed_action
+
+
+# ---------------------------------------------------------------------------
+# Step factories — MPPI
+# ---------------------------------------------------------------------------
+
+
+class StepFns(NamedTuple):
+    """Bundle of jitted entry points produced by a factory."""
+
+    step: Callable  # (params, state, x0, info) -> (state, action, Artifacts)  [with shift]
+    step_no_shift: Callable  # same, without the nominal-trajectory shift
+    get_rollouts: Callable  # (params, state, x0 (R, nx), U (T, nu)) -> (R, T, nx)
+
+
+def _select_action(config: MPPIConfig, seq: jax.Array) -> jax.Array:
+    """Return the first u_per_command actions, squeezed if 1 (mppi.py:271-275)."""
+    action = seq[: config.u_per_command]
+    if config.u_per_command == 1:
+        action = action[0]
+    return action
+
+
+def _shift_U(U: jax.Array, u_init: jax.Array) -> jax.Array:
+    """Roll the nominal sequence forward one step (mppi.py:232-238)."""
+    return jnp.roll(U, -1, axis=0).at[-1].set(u_init)
+
+
+def make_mppi_step(
+    config: MPPIConfig,
+    dynamics: Callable,
+    running_cost: Callable,
+    terminal_state_cost: Optional[Callable] = None,
+    sample_trajectories: Optional[Callable] = None,
+    specific_dynamics: Optional[Callable] = None,
+    jit: bool = True,
+) -> StepFns:
+    """Build the jitted MPPI solve for one static configuration.
+
+    The returned ``step`` implements the full ``command()`` call stack
+    (SURVEY.md §3.1) as a single traced program.
+    """
+    dyn = wrap_dynamics(config, dynamics)
+    cost = wrap_cost(config, running_cost)
+    dtype = config.dtype
+
+    def _solve(params: MPPIParams, state: MPPIState, x0, info, shift: bool):
+        U = state.U
+        if shift:
+            U = _shift_U(U, params.u_init)
+        key, k_noise, k_roll = jax.random.split(state.key, 3)
+
+        x0 = jnp.asarray(x0, dtype)
+        noise = sample_noise(k_noise, (config.K, config.T), params, dtype)
+        perturbed = U[None] + noise
+        perturbed = inject_specific_actions(
+            config, sample_trajectories, perturbed, x0, info
+        )
+        perturbed = _bound(perturbed, params.u_min, params.u_max)
+        # rectified-Gaussian noise: recompute after clamping so truncated noise is
+        # not penalized in the action cost (mppi.py:383-385)
+        noise = perturbed - U[None]
+
+        _, sigma_inv = _sigma_factors(params.noise_sigma)
+        action_cost = _action_cost(
+            noise, sigma_inv, params.lambda_, config.noise_abs_cost
+        )
+
+        rollout_cost, states, actions = rollout_costs(
+            config, dyn, cost, terminal_state_cost, specific_dynamics,
+            params, x0, perturbed, k_roll,
+        )
+        # action perturbation cost: sum(U * action_cost) over (T, nu) (mppi.py:414-416)
+        perturbation_cost = jnp.sum(U[None] * action_cost, axis=(1, 2))
+        cost_total = rollout_cost + perturbation_cost
+
+        cost_total_non_zero, omega = compute_weighting(cost_total, params.lambda_)
+        # weighted noise reduction == (K,)·(K, T·nu) matmul on the MXU (mppi.py:268-270)
+        perturbations = jnp.einsum("k,ktn->tn", omega, noise)
+        U_new = U + perturbations
+
+        artifacts = Artifacts(
+            cost_total=cost_total,
+            cost_total_non_zero=cost_total_non_zero,
+            omega=omega,
+            noise=noise,
+            perturbed_action=perturbed,
+            states=states,
+            actions=None if actions is None else actions / jnp.asarray(config.u_scale, dtype),
+        )
+        action = _select_action(config, U_new)
+        return MPPIState(U=U_new, key=key), action, artifacts
+
+    def step(params, state, x0, info=None):
+        return _solve(params, state, x0, info, shift=True)
+
+    def step_no_shift(params, state, x0, info=None):
+        return _solve(params, state, x0, info, shift=False)
+
+    get_rollouts = make_get_rollouts(config, dyn)
+
+    if jit:
+        step = jax.jit(step)
+        step_no_shift = jax.jit(step_no_shift)
+    return StepFns(step=step, step_no_shift=step_no_shift, get_rollouts=get_rollouts)
+
+
+def make_get_rollouts(config: MPPIConfig, wrapped_dynamics: Callable) -> Callable:
+    """Roll the nominal sequence from given initial states (mppi.py:425-448)."""
+    dtype = config.dtype
+
+    @functools.partial(jax.jit, static_argnames=("num_rollouts",))
+    def get_rollouts(params: MPPIParams, x0, U, key=None, num_rollouts: int = 1):
+        x0 = jnp.asarray(x0, dtype).reshape(-1, config.nx)
+        if x0.shape[0] == 1:
+            x0 = jnp.broadcast_to(x0, (num_rollouts, config.nx))
+        T = U.shape[0]
+        step_keys = (
+            jax.random.split(key, T)
+            if (config.stochastic_dynamics and key is not None)
+            else jnp.zeros((T, 1), dtype=jnp.uint32)
+        )
+
+        def body(state, inp):
+            u_t, t, k_t = inp
+            u = jnp.broadcast_to(u_t[None], (x0.shape[0], config.nu)) * jnp.asarray(
+                config.u_scale, dtype
+            )
+            nxt = wrapped_dynamics(state, u, t, k_t)
+            nxt = nxt[..., : config.nx]
+            return nxt, nxt
+
+        _, states = lax.scan(body, x0, (U, jnp.arange(T), step_keys))
+        return jnp.swapaxes(states, 0, 1)  # (R, T, nx)
+
+    return get_rollouts
+
+
+# ---------------------------------------------------------------------------
+# Step factory — SMPPI (reference mppi.py:451-570, arXiv:2112.09988)
+# ---------------------------------------------------------------------------
+
+
+def make_smppi_step(
+    config: MPPIConfig,
+    dynamics: Callable,
+    running_cost: Callable,
+    terminal_state_cost: Optional[Callable] = None,
+    sample_trajectories: Optional[Callable] = None,
+    specific_dynamics: Optional[Callable] = None,
+    jit: bool = True,
+) -> StepFns:
+    dyn = wrap_dynamics(config, dynamics)
+    cost = wrap_cost(config, running_cost)
+    dtype = config.dtype
+
+    def _solve(params: SMPPIParams, state: SMPPIState, x0, info, shift: bool):
+        base = params.base
+        U, action_sequence = state.U, state.action_sequence
+        if shift:
+            # roll both sequences; duplicate the last commanded action (mppi.py:489-493)
+            U = _shift_U(U, base.u_init)
+            action_sequence = jnp.roll(action_sequence, -1, axis=0)
+            action_sequence = action_sequence.at[-1].set(action_sequence[-2])
+        key, k_noise, k_roll = jax.random.split(state.key, 3)
+
+        x0 = jnp.asarray(x0, dtype)
+        # noise lives in action-*rate* space (mppi.py:539-552)
+        noise = sample_noise(k_noise, (config.K, config.T), base, dtype)
+        perturbed_control = _bound(U[None] + noise, base.u_min, base.u_max)
+        perturbed_action = action_sequence[None] + perturbed_control * params.delta_t
+        perturbed_action = inject_specific_actions(
+            config, sample_trajectories, perturbed_action, x0, info
+        )
+        perturbed_action = _bound(perturbed_action, params.action_min, params.action_max)
+        # effective noise back-computed through both clamps (mppi.py:552)
+        noise = (perturbed_action - action_sequence[None]) / params.delta_t - U[None]
+
+        _, sigma_inv = _sigma_factors(base.noise_sigma)
+        action_cost = _action_cost(noise, sigma_inv, base.lambda_, config.noise_abs_cost)
+
+        # smoothness cost w * sum ||u_scale * diff(actions)||^2 (mppi.py:558-562)
+        action_diff = jnp.asarray(config.u_scale, dtype) * jnp.diff(
+            perturbed_action, axis=-2
+        )
+        smoothness = params.w_action_seq_cost * jnp.sum(
+            jnp.square(action_diff), axis=(1, 2)
+        )
+
+        rollout_cost, states, actions = rollout_costs(
+            config, dyn, cost, terminal_state_cost, specific_dynamics,
+            base, x0, perturbed_action, k_roll,
+        )
+        perturbation_cost = jnp.sum(U[None] * action_cost, axis=(1, 2))
+        cost_total = rollout_cost + perturbation_cost + smoothness
+
+        cost_total_non_zero, omega = compute_weighting(cost_total, base.lambda_)
+        perturbations = jnp.einsum("k,ktn->tn", omega, noise)
+        U_new = U + perturbations
+        # integrate the lifted control (mppi.py:529-531)
+        action_sequence_new = action_sequence + U_new * params.delta_t
+
+        artifacts = Artifacts(
+            cost_total=cost_total,
+            cost_total_non_zero=cost_total_non_zero,
+            omega=omega,
+            noise=noise,
+            perturbed_action=perturbed_action,
+            states=states,
+            actions=None if actions is None else actions / jnp.asarray(config.u_scale, dtype),
+        )
+        action = _select_action(config, action_sequence_new)
+        new_state = SMPPIState(U=U_new, action_sequence=action_sequence_new, key=key)
+        return new_state, action, artifacts
+
+    def step(params, state, x0, info=None):
+        return _solve(params, state, x0, info, shift=True)
+
+    def step_no_shift(params, state, x0, info=None):
+        return _solve(params, state, x0, info, shift=False)
+
+    get_rollouts = make_get_rollouts(config, dyn)
+
+    if jit:
+        step = jax.jit(step)
+        step_no_shift = jax.jit(step_no_shift)
+    return StepFns(step=step, step_no_shift=step_no_shift, get_rollouts=get_rollouts)
+
+
+# ---------------------------------------------------------------------------
+# Step factory — KMPPI (reference mppi.py:593-688)
+# ---------------------------------------------------------------------------
+
+
+def make_kmppi_step(
+    config: MPPIConfig,
+    dynamics: Callable,
+    running_cost: Callable,
+    terminal_state_cost: Optional[Callable] = None,
+    sample_trajectories: Optional[Callable] = None,
+    specific_dynamics: Optional[Callable] = None,
+    jit: bool = True,
+) -> StepFns:
+    dyn = wrap_dynamics(config, dynamics)
+    cost = wrap_cost(config, running_cost)
+    dtype = config.dtype
+    nsp = config.num_support_pts
+
+    def _solve(params: KMPPIParams, state: KMPPIState, x0, info, shift: bool):
+        base = params.base
+        U, theta = state.U, state.theta
+        if shift:
+            U = _shift_U(U, base.u_init)
+            # theta <- interpolate theta at Tk+1 (mppi.py:617-619), precomputed operator
+            theta = params.interp_shift @ theta
+        key, k_noise, k_roll = jax.random.split(state.key, 3)
+
+        x0 = jnp.asarray(x0, dtype)
+        # noise sampled only at support points (mppi.py:657-664)
+        noise_theta = sample_noise(k_noise, (config.K, nsp), base, dtype)
+        perturbed_pts = _bound(theta[None] + noise_theta, base.u_min, base.u_max)
+        noise_theta = perturbed_pts - theta[None]
+        # deparameterize to the full horizon: one (T,nsp)@(K,nsp,nu) MXU matmul
+        # replacing the reference's per-call vmap linalg.solve (mppi.py:636-655)
+        perturbed = jnp.einsum("ts,ksu->ktu", params.interp_full, perturbed_pts)
+        perturbed = inject_specific_actions(
+            config, sample_trajectories, perturbed, x0, info
+        )
+        perturbed = _bound(perturbed, base.u_min, base.u_max)
+        noise = perturbed - U[None]
+
+        _, sigma_inv = _sigma_factors(base.noise_sigma)
+        action_cost = _action_cost(noise, sigma_inv, base.lambda_, config.noise_abs_cost)
+
+        rollout_cost, states, actions = rollout_costs(
+            config, dyn, cost, terminal_state_cost, specific_dynamics,
+            base, x0, perturbed, k_roll,
+        )
+        perturbation_cost = jnp.sum(U[None] * action_cost, axis=(1, 2))
+        cost_total = rollout_cost + perturbation_cost
+
+        cost_total_non_zero, omega = compute_weighting(cost_total, base.lambda_)
+        # weighted update in control-point space (mppi.py:672-682)
+        theta_new = theta + jnp.einsum("k,ksu->su", omega, noise_theta)
+        U_new = params.interp_full @ theta_new
+
+        artifacts = Artifacts(
+            cost_total=cost_total,
+            cost_total_non_zero=cost_total_non_zero,
+            omega=omega,
+            noise=noise,
+            perturbed_action=perturbed,
+            states=states,
+            actions=None if actions is None else actions / jnp.asarray(config.u_scale, dtype),
+        )
+        action = _select_action(config, U_new)
+        return KMPPIState(U=U_new, theta=theta_new, key=key), action, artifacts
+
+    def step(params, state, x0, info=None):
+        return _solve(params, state, x0, info, shift=True)
+
+    def step_no_shift(params, state, x0, info=None):
+        return _solve(params, state, x0, info, shift=False)
+
+    get_rollouts = make_get_rollouts(config, dyn)
+
+    if jit:
+        step = jax.jit(step)
+        step_no_shift = jax.jit(step_no_shift)
+    return StepFns(step=step, step_no_shift=step_no_shift, get_rollouts=get_rollouts)
+
+
+# ---------------------------------------------------------------------------
+# Step factory — batched N-plant solve (reference MPPI_Batched, mppi.py:691-873)
+# ---------------------------------------------------------------------------
+
+
+class BatchedState(NamedTuple):
+    U: jax.Array  # (N, T, nu)
+    key: jax.Array
+
+
+def make_batched_step(
+    config: MPPIConfig,
+    num_envs: int,
+    dynamics: Callable,
+    running_cost: Callable,
+    jit: bool = True,
+):
+    """N parallel plants sharing one dynamics/cost call per step.
+
+    Noise is sampled once and shared across plants (mppi.py:837-838); the rollout
+    flattens (N, K) -> N·K for a single flat-batch dynamics call (mppi.py:844-853);
+    weighting is an independent softmax per plant along K (mppi.py:860-868).
+
+    This is the scenario-batch component that shards across a device mesh: with only
+    N sharded, the solve is embarrassingly parallel (SURVEY.md §3.4).
+    """
+    dyn = wrap_dynamics(config, dynamics)
+    cost = wrap_cost(config, running_cost)
+    dtype = config.dtype
+    N, K, T, nu, nx = num_envs, config.K, config.T, config.nu, config.nx
+
+    def _solve(params: MPPIParams, state: BatchedState, x0, shift: bool):
+        U = state.U  # (N, T, nu)
+        if shift:
+            U = jnp.roll(U, -1, axis=1).at[:, -1].set(params.u_init)
+        key, k_noise, k_roll = jax.random.split(state.key, 3)
+
+        x0 = jnp.asarray(x0, dtype)  # (N, nx)
+        noise = sample_noise(k_noise, (K, T), params, dtype)  # shared across envs
+        perturbed = _bound(U[:, None] + noise[None], params.u_min, params.u_max)
+        actual_noise = perturbed - U[:, None]  # (N, K, T, nu)
+
+        state0 = jnp.broadcast_to(x0[:, None], (N, K, nx)).reshape(N * K, nx)
+        u_scaled = jnp.moveaxis(perturbed, 2, 0).reshape(T, N * K, nu) * jnp.asarray(
+            config.u_scale, dtype
+        )
+        step_keys = (
+            jax.random.split(k_roll, T)
+            if config.stochastic_dynamics
+            else jnp.zeros((T, 1), dtype=jnp.uint32)
+        )
+
+        def body(carry, inp):
+            s, c_tot = carry
+            u_t, t, k_t = inp
+            s = dyn(s, u_t, t, k_t)
+            c = cost(s, u_t, t).reshape(N, K)
+            return (s, c_tot + c), None
+
+        (_, cost_total), _ = lax.scan(
+            body,
+            (state0, jnp.zeros((N, K), dtype)),
+            (u_scaled, jnp.arange(T), step_keys),
+        )
+
+        _, sigma_inv = _sigma_factors(params.noise_sigma)
+        action_cost = _action_cost(
+            actual_noise, sigma_inv, params.lambda_, config.noise_abs_cost
+        )
+        perturbation_cost = jnp.sum(U[:, None] * action_cost, axis=(2, 3))
+        total_cost = cost_total + perturbation_cost  # (N, K)
+
+        cost_total_non_zero, omega = compute_weighting(
+            total_cost, params.lambda_, axis=1
+        )
+        perturbations = jnp.einsum("nk,nktd->ntd", omega, actual_noise)
+        U_new = U + perturbations
+
+        action = U_new[:, : config.u_per_command]
+        if config.u_per_command == 1:
+            action = action[:, 0]
+        artifacts = Artifacts(
+            cost_total=total_cost,
+            cost_total_non_zero=cost_total_non_zero,
+            omega=omega,
+            noise=actual_noise,
+            perturbed_action=perturbed,
+            states=None,
+            actions=None,
+        )
+        return BatchedState(U=U_new, key=key), action, artifacts
+
+    def step(params, state, x0):
+        return _solve(params, state, x0, shift=True)
+
+    def step_no_shift(params, state, x0):
+        return _solve(params, state, x0, shift=False)
+
+    if jit:
+        step = jax.jit(step)
+        step_no_shift = jax.jit(step_no_shift)
+    return StepFns(step=step, step_no_shift=step_no_shift, get_rollouts=None)

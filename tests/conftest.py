@@ -1,0 +1,17 @@
+"""Test configuration: force a CPU backend with 8 virtual devices so multi-chip
+sharding tests (SURVEY.md §4 implication) run anywhere, and enable x64 to match the
+reference's float64 CPU test fixtures (tests/test_mppi.py:15-17)."""
+import os
+
+# must happen before jax import; the environment may preset JAX_PLATFORMS=axon
+# (single real TPU chip) — unit tests always run on the 8-device virtual CPU mesh
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)

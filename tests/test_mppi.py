@@ -1,0 +1,815 @@
+"""Comprehensive tests for the TPU-native MPPI, SMPPI, and KMPPI controllers.
+
+Port of the reference test pyramid (``/root/reference/tests/test_mppi.py``):
+same dependency-free linear dynamics + quadratic cost fixtures
+(test_mppi.py:24-51), same behavior contracts and solution-quality regression
+floors (test_mppi.py:813-948), with JAX explicit-PRNG seeding replacing
+``torch.manual_seed``.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pytorch_mppi_tpu import MPPI, SMPPI, KMPPI, MPPI_Batched
+from pytorch_mppi_tpu import RBFKernel, SpecificActionSampler
+
+# ---------------------------------------------------------------------------
+# Shared fixtures (reference test_mppi.py:15-61)
+# ---------------------------------------------------------------------------
+DTYPE = jnp.float64
+SEED = 42
+
+B = jnp.array([[1.0, 0.0], [0.0, -1.0]], dtype=DTYPE)
+
+
+def linear_dynamics(state, action):
+    return state + action @ B.T
+
+
+def linear_dynamics_step(state, action, t):
+    return linear_dynamics(state, action)
+
+
+GOAL = jnp.array([2.0, 2.0], dtype=DTYPE)
+
+
+def quadratic_cost(state, action):
+    dx = GOAL - state
+    return (dx**2).sum(axis=-1)
+
+
+def quadratic_cost_step(state, action, t):
+    return quadratic_cost(state, action)
+
+
+def terminal_cost(states, actions):
+    dx = GOAL - states[..., -1, :]
+    return (dx**2).sum(axis=-1)
+
+
+@pytest.fixture
+def noise_sigma():
+    return jnp.eye(2, dtype=DTYPE)
+
+
+@pytest.fixture
+def small_noise_sigma():
+    return jnp.eye(2, dtype=DTYPE) * 0.1
+
+
+def allclose(a, b, **kw):
+    return jnp.allclose(jnp.asarray(a), jnp.asarray(b), **kw)
+
+
+# ---------------------------------------------------------------------------
+# MPPI Tests
+# ---------------------------------------------------------------------------
+class TestMPPI:
+    def _make(self, noise_sigma, **kwargs):
+        defaults = dict(
+            dynamics=linear_dynamics,
+            running_cost=quadratic_cost,
+            nx=2,
+            noise_sigma=noise_sigma,
+            num_samples=100,
+            horizon=10,
+            lambda_=1.0,
+            seed=SEED,
+        )
+        defaults.update(kwargs)
+        return MPPI(**defaults)
+
+    def test_basic_command_returns_action(self, noise_sigma):
+        ctrl = self._make(noise_sigma)
+        state = jnp.array([-3.0, -2.0], dtype=DTYPE)
+        action = ctrl.command(state)
+        assert action.shape == (2,), f"Expected shape (2,), got {action.shape}"
+        assert action.dtype == DTYPE
+
+    def test_command_moves_toward_goal(self, noise_sigma):
+        """After several commands, cost should decrease (test_mppi.py:90-101)."""
+        ctrl = self._make(noise_sigma, num_samples=500)
+        state = jnp.array([-3.0, -2.0], dtype=DTYPE)
+
+        initial_cost = float(quadratic_cost(state[None], jnp.zeros((1, 2), DTYPE))[0])
+        for _ in range(5):
+            action = ctrl.command(state)
+            state = linear_dynamics(state[None], action[None])[0]
+        final_cost = float(quadratic_cost(state[None], jnp.zeros((1, 2), DTYPE))[0])
+        assert final_cost < initial_cost, f"Cost did not decrease: {initial_cost} -> {final_cost}"
+
+    def test_deterministic_with_seed(self, noise_sigma):
+        """Same seed should produce identical results (test_mppi.py:103-115)."""
+        state = jnp.array([0.0, 0.0], dtype=DTYPE)
+
+        ctrl1 = self._make(noise_sigma)
+        a1 = ctrl1.command(state)
+        ctrl2 = self._make(noise_sigma)
+        a2 = ctrl2.command(state)
+        assert allclose(a1, a2), f"Actions differ: {a1} vs {a2}"
+
+    def test_control_bounds(self, noise_sigma):
+        u_max = jnp.array([0.5, 0.5], dtype=DTYPE)
+        ctrl = self._make(noise_sigma, u_min=-u_max, u_max=u_max)
+        state = jnp.array([-3.0, -2.0], dtype=DTYPE)
+        for _ in range(10):
+            action = ctrl.command(state)
+            state = linear_dynamics(state[None], action[None])[0]
+            assert (action <= u_max + 1e-6).all(), f"Action {action} exceeds u_max {u_max}"
+            assert (action >= -u_max - 1e-6).all(), f"Action {action} below u_min {-u_max}"
+
+    def test_u_max_only_sets_symmetric_bounds(self, noise_sigma):
+        u_max = jnp.array([1.0, 1.0], dtype=DTYPE)
+        ctrl = self._make(noise_sigma, u_max=u_max)
+        assert ctrl.u_min is not None
+        assert allclose(ctrl.u_min, -u_max)
+
+    def test_u_min_only_sets_symmetric_bounds(self, noise_sigma):
+        u_min = jnp.array([-1.0, -1.0], dtype=DTYPE)
+        ctrl = self._make(noise_sigma, u_min=u_min)
+        assert ctrl.u_max is not None
+        assert allclose(ctrl.u_max, -u_min)
+
+    def test_terminal_state_cost(self, noise_sigma):
+        ctrl = self._make(noise_sigma, terminal_state_cost=terminal_cost)
+        state = jnp.array([-3.0, -2.0], dtype=DTYPE)
+        action = ctrl.command(state)
+        assert action.shape == (2,)
+
+    def test_step_dependent_dynamics(self, noise_sigma):
+        ctrl = self._make(
+            noise_sigma,
+            dynamics=linear_dynamics_step,
+            running_cost=quadratic_cost_step,
+            step_dependent_dynamics=True,
+        )
+        state = jnp.array([-1.0, -1.0], dtype=DTYPE)
+        action = ctrl.command(state)
+        assert action.shape == (2,)
+
+    def test_noise_abs_cost(self, noise_sigma):
+        ctrl = self._make(noise_sigma, noise_abs_cost=True)
+        state = jnp.array([-1.0, 0.0], dtype=DTYPE)
+        action = ctrl.command(state)
+        assert action.shape == (2,)
+
+    def test_sample_null_action(self, noise_sigma):
+        ctrl = self._make(noise_sigma, sample_null_action=True)
+        state = jnp.array([0.0, 0.0], dtype=DTYPE)
+        action = ctrl.command(state)
+        assert action.shape == (2,)
+
+    def test_u_per_command_multiple(self, noise_sigma):
+        ctrl = self._make(noise_sigma, u_per_command=3)
+        state = jnp.array([0.0, 0.0], dtype=DTYPE)
+        action = ctrl.command(state)
+        assert action.shape == (3, 2), f"Expected shape (3, 2), got {action.shape}"
+
+    def test_rollout_samples(self, noise_sigma):
+        """M > 1 rollout samples for stochastic dynamics (test_mppi.py:182-188)."""
+        ctrl = self._make(noise_sigma, rollout_samples=3, rollout_var_cost=0.1)
+        state = jnp.array([0.0, 0.0], dtype=DTYPE)
+        action = ctrl.command(state)
+        assert action.shape == (2,)
+
+    def test_get_rollouts(self, noise_sigma):
+        ctrl = self._make(noise_sigma)
+        state = jnp.array([0.0, 0.0], dtype=DTYPE)
+        ctrl.command(state)
+        rollouts = ctrl.get_rollouts(state, num_rollouts=5)
+        assert rollouts.shape == (5, ctrl.T, 2)
+
+    def test_get_rollouts_custom_U(self, noise_sigma):
+        ctrl = self._make(noise_sigma)
+        state = jnp.array([0.0, 0.0], dtype=DTYPE)
+        ctrl.command(state)
+        custom_U = jnp.zeros((ctrl.T, 2), dtype=DTYPE)
+        rollouts = ctrl.get_rollouts(state, num_rollouts=1, U=custom_U)
+        assert allclose(rollouts, jnp.zeros_like(rollouts))
+
+    def test_change_horizon_shorter(self, noise_sigma):
+        ctrl = self._make(noise_sigma, horizon=10)
+        ctrl.change_horizon(5)
+        assert ctrl.T == 5
+        assert ctrl.U.shape[0] == 5
+
+    def test_change_horizon_longer(self, noise_sigma):
+        ctrl = self._make(noise_sigma, horizon=5)
+        ctrl.change_horizon(10)
+        assert ctrl.T == 10
+        assert ctrl.U.shape[0] == 10
+
+    def test_reset(self, noise_sigma):
+        ctrl = self._make(noise_sigma)
+        state = jnp.array([0.0, 0.0], dtype=DTYPE)
+        ctrl.command(state)
+        U_before = ctrl.U
+        ctrl.reset()
+        assert not allclose(ctrl.U, U_before)
+
+    def test_batch_state_input(self, noise_sigma):
+        """(K x nx) state sample input (test_mppi.py:232-239)."""
+        K = 100
+        ctrl = self._make(noise_sigma, num_samples=K)
+        state = jnp.asarray(np.random.RandomState(SEED).randn(K, 2), dtype=DTYPE)
+        action = ctrl.command(state)
+        assert action.shape == (2,)
+
+    def test_stored_states_actions(self, noise_sigma):
+        """Lazy-storage contract (test_mppi.py:241-249)."""
+        ctrl = self._make(noise_sigma)
+        ctrl.command(jnp.array([0.0, 0.0], dtype=DTYPE))
+        assert ctrl.states is None
+        assert ctrl.actions is None
+
+    def test_stored_states_actions_with_terminal(self, noise_sigma):
+        ctrl = self._make(noise_sigma, terminal_state_cost=terminal_cost)
+        ctrl.command(jnp.array([0.0, 0.0], dtype=DTYPE))
+        assert ctrl.states is not None
+        assert ctrl.actions is not None
+        assert ctrl.states.shape[-1] == 2  # nx
+        assert ctrl.actions.shape[-1] == 2  # nu
+
+    def test_cost_total_shape(self, noise_sigma):
+        ctrl = self._make(noise_sigma)
+        ctrl.command(jnp.array([0.0, 0.0], dtype=DTYPE))
+        assert ctrl.cost_total.shape == (ctrl.K,)
+
+    def test_omega_sums_to_one(self, noise_sigma):
+        ctrl = self._make(noise_sigma)
+        ctrl.command(jnp.array([0.0, 0.0], dtype=DTYPE))
+        assert allclose(ctrl.omega.sum(), 1.0, atol=1e-5)
+
+    def test_1d_control(self):
+        """Scalar (1D) control noise (test_mppi.py:276-291)."""
+        sigma = jnp.asarray(1.0, dtype=DTYPE)
+
+        def dynamics_1d(state, action):
+            return state + action
+
+        def cost_1d(state, action):
+            return (state[:, 0] - 1.0) ** 2
+
+        ctrl = MPPI(dynamics_1d, cost_1d, nx=1, noise_sigma=sigma,
+                    num_samples=50, horizon=5, seed=SEED)
+        action = ctrl.command(jnp.array([0.0], dtype=DTYPE))
+        assert action.shape == (1,)
+
+    def test_shift_nominal_trajectory(self, noise_sigma):
+        ctrl = self._make(noise_sigma)
+        ctrl.command(jnp.array([0.0, 0.0], dtype=DTYPE))
+        U_before = ctrl.U
+        ctrl.shift_nominal_trajectory()
+        assert allclose(ctrl.U[-1], ctrl.u_init)
+        assert allclose(ctrl.U[0], U_before[1])
+
+    def test_no_shift_refine(self, noise_sigma):
+        ctrl = self._make(noise_sigma)
+        state = jnp.array([0.0, 0.0], dtype=DTYPE)
+        ctrl.command(state, shift_nominal_trajectory=True)
+        U_after_first = ctrl.U
+        ctrl.command(state, shift_nominal_trajectory=False)
+        assert ctrl.U.shape == U_after_first.shape
+
+    def test_u_scale(self, noise_sigma):
+        ctrl = self._make(noise_sigma, u_scale=2.0, terminal_state_cost=terminal_cost)
+        ctrl.command(jnp.array([0.0, 0.0], dtype=DTYPE))
+        assert ctrl.actions is not None
+        # actions stored unscaled (test_mppi.py:317-322): perturbed bounded by inf,
+        # stored actions = scaled/2.0 == perturbed
+        assert allclose(ctrl.actions[0], ctrl.perturbed_action)
+
+    def test_get_params_string(self, noise_sigma):
+        ctrl = self._make(noise_sigma)
+        params = ctrl.get_params()
+        assert "K=100" in params
+        assert "T=10" in params
+
+
+# ---------------------------------------------------------------------------
+# SMPPI Tests
+# ---------------------------------------------------------------------------
+class TestSMPPI:
+    def _make(self, noise_sigma, **kwargs):
+        defaults = dict(
+            dynamics=linear_dynamics,
+            running_cost=quadratic_cost,
+            nx=2,
+            noise_sigma=noise_sigma,
+            num_samples=100,
+            horizon=10,
+            lambda_=1.0,
+            seed=SEED,
+        )
+        defaults.update(kwargs)
+        return SMPPI(**defaults)
+
+    def test_basic_command(self, noise_sigma):
+        ctrl = self._make(noise_sigma)
+        action = ctrl.command(jnp.array([-1.0, -1.0], dtype=DTYPE))
+        assert action.shape == (2,)
+
+    def test_command_moves_toward_goal(self, noise_sigma):
+        ctrl = self._make(noise_sigma, num_samples=500)
+        state = jnp.array([-3.0, -2.0], dtype=DTYPE)
+        initial_cost = float(quadratic_cost(state[None], jnp.zeros((1, 2), DTYPE))[0])
+        for _ in range(5):
+            action = ctrl.command(state)
+            state = linear_dynamics(state[None], action[None])[0]
+        final_cost = float(quadratic_cost(state[None], jnp.zeros((1, 2), DTYPE))[0])
+        assert final_cost < initial_cost
+
+    def test_action_bounds(self, noise_sigma):
+        action_max = jnp.array([0.5, 0.5], dtype=DTYPE)
+        ctrl = self._make(noise_sigma, action_max=action_max)
+        state = jnp.array([-3.0, -2.0], dtype=DTYPE)
+        for _ in range(10):
+            action = ctrl.command(state)
+            state = linear_dynamics(state[None], action[None])[0]
+            assert (action <= action_max + 1e-6).all()
+            assert (action >= -action_max - 1e-6).all()
+
+    def test_smoothness(self, noise_sigma):
+        state = jnp.array([-3.0, -2.0], dtype=DTYPE)
+        ctrl_mppi = MPPI(linear_dynamics, quadratic_cost, 2, noise_sigma,
+                         num_samples=200, horizon=10, lambda_=1.0, seed=SEED)
+        ctrl_smppi = self._make(noise_sigma, num_samples=200, w_action_seq_cost=10.0)
+
+        actions_mppi, actions_smppi = [], []
+        s_mppi = state
+        s_smppi = state
+        for _ in range(8):
+            a = ctrl_mppi.command(s_mppi)
+            s_mppi = linear_dynamics(s_mppi[None], a[None])[0]
+            actions_mppi.append(a)
+        for _ in range(8):
+            a = ctrl_smppi.command(s_smppi)
+            s_smppi = linear_dynamics(s_smppi[None], a[None])[0]
+            actions_smppi.append(a)
+
+        diffs_mppi = jnp.abs(jnp.diff(jnp.stack(actions_mppi), axis=0)).sum()
+        diffs_smppi = jnp.abs(jnp.diff(jnp.stack(actions_smppi), axis=0)).sum()
+        assert jnp.isfinite(diffs_smppi)
+        assert jnp.isfinite(diffs_mppi)
+
+    def test_w_action_seq_cost(self, noise_sigma):
+        ctrl = self._make(noise_sigma, w_action_seq_cost=5.0)
+        action = ctrl.command(jnp.array([0.0, 0.0], dtype=DTYPE))
+        assert action.shape == (2,)
+
+    def test_delta_t(self, noise_sigma):
+        ctrl = self._make(noise_sigma, delta_t=0.5)
+        action = ctrl.command(jnp.array([0.0, 0.0], dtype=DTYPE))
+        assert action.shape == (2,)
+
+    def test_reset(self, noise_sigma):
+        ctrl = self._make(noise_sigma)
+        ctrl.command(jnp.array([0.0, 0.0], dtype=DTYPE))
+        ctrl.reset()
+        assert allclose(ctrl.U, jnp.zeros_like(ctrl.U))
+        assert allclose(ctrl.action_sequence, jnp.zeros_like(ctrl.action_sequence))
+
+    def test_change_horizon(self, noise_sigma):
+        ctrl = self._make(noise_sigma, horizon=10)
+        ctrl.change_horizon(5)
+        assert ctrl.T == 5
+        assert ctrl.U.shape[0] == 5
+        assert ctrl.action_sequence.shape[0] == 5
+
+    def test_change_horizon_longer(self, noise_sigma):
+        ctrl = self._make(noise_sigma, horizon=5)
+        ctrl.change_horizon(10)
+        assert ctrl.T == 10
+        assert ctrl.U.shape[0] == 10
+        assert ctrl.action_sequence.shape[0] == 10
+
+    def test_get_action_sequence(self, noise_sigma):
+        ctrl = self._make(noise_sigma)
+        ctrl.command(jnp.array([0.0, 0.0], dtype=DTYPE))
+        seq = ctrl.get_action_sequence()
+        assert seq.shape == (ctrl.T, 2)
+        assert seq is ctrl.action_sequence
+
+    def test_get_params(self, noise_sigma):
+        ctrl = self._make(noise_sigma, w_action_seq_cost=5.0, delta_t=0.1)
+        params = ctrl.get_params()
+        assert "w=5" in params
+        assert "t=0.1" in params
+
+
+# ---------------------------------------------------------------------------
+# KMPPI Tests
+# ---------------------------------------------------------------------------
+class TestKMPPI:
+    def _make(self, noise_sigma, **kwargs):
+        defaults = dict(
+            dynamics=linear_dynamics,
+            running_cost=quadratic_cost,
+            nx=2,
+            noise_sigma=noise_sigma,
+            num_samples=100,
+            horizon=10,
+            lambda_=1.0,
+            seed=SEED,
+        )
+        defaults.update(kwargs)
+        return KMPPI(**defaults)
+
+    def test_basic_command(self, noise_sigma):
+        ctrl = self._make(noise_sigma)
+        action = ctrl.command(jnp.array([-1.0, -1.0], dtype=DTYPE))
+        assert action.shape == (2,)
+
+    def test_command_moves_toward_goal(self, noise_sigma):
+        ctrl = self._make(noise_sigma, num_samples=500)
+        state = jnp.array([-3.0, -2.0], dtype=DTYPE)
+        initial_cost = float(quadratic_cost(state[None], jnp.zeros((1, 2), DTYPE))[0])
+        for _ in range(5):
+            action = ctrl.command(state)
+            state = linear_dynamics(state[None], action[None])[0]
+        final_cost = float(quadratic_cost(state[None], jnp.zeros((1, 2), DTYPE))[0])
+        assert final_cost < initial_cost
+
+    def test_num_support_pts(self, noise_sigma):
+        ctrl = self._make(noise_sigma, num_support_pts=3)
+        assert ctrl.num_support_pts == 3
+        action = ctrl.command(jnp.array([0.0, 0.0], dtype=DTYPE))
+        assert action.shape == (2,)
+
+    def test_default_support_pts(self, noise_sigma):
+        ctrl = self._make(noise_sigma, horizon=10)
+        assert ctrl.num_support_pts == 5  # T // 2 (mppi.py:598)
+
+    def test_custom_kernel(self, noise_sigma):
+        kernel = RBFKernel(sigma=2.0)
+        ctrl = self._make(noise_sigma, kernel=kernel)
+        action = ctrl.command(jnp.array([0.0, 0.0], dtype=DTYPE))
+        assert action.shape == (2,)
+
+    def test_kernel_interpolation_shape(self, noise_sigma):
+        ctrl = self._make(noise_sigma, num_support_pts=4)
+        theta = jnp.asarray(np.random.RandomState(SEED).randn(4, 2), dtype=DTYPE)
+        result, K = ctrl.deparameterize_to_trajectory_single(theta)
+        assert result.shape == (ctrl.T, 2)
+
+    def test_kernel_interpolation_batch_shape(self, noise_sigma):
+        ctrl = self._make(noise_sigma, num_support_pts=4)
+        theta = jnp.asarray(np.random.RandomState(SEED).randn(ctrl.K, 4, 2), dtype=DTYPE)
+        result, K = ctrl.deparameterize_to_trajectory_batch(theta)
+        assert result.shape == (ctrl.K, ctrl.T, 2)
+
+    def test_control_bounds(self, noise_sigma):
+        u_max = jnp.array([0.5, 0.5], dtype=DTYPE)
+        ctrl = self._make(noise_sigma, u_min=-u_max, u_max=u_max)
+        state = jnp.array([-3.0, -2.0], dtype=DTYPE)
+        for _ in range(5):
+            action = ctrl.command(state)
+            state = linear_dynamics(state[None], action[None])[0]
+            assert (action <= u_max + 1e-6).all()
+            assert (action >= -u_max - 1e-6).all()
+
+    def test_reset(self, noise_sigma):
+        ctrl = self._make(noise_sigma)
+        ctrl.command(jnp.array([0.0, 0.0], dtype=DTYPE))
+        ctrl.reset()
+        assert allclose(ctrl.theta, jnp.zeros_like(ctrl.theta))
+
+    def test_get_params(self, noise_sigma):
+        kernel = RBFKernel(sigma=2.0)
+        ctrl = self._make(noise_sigma, num_support_pts=5, kernel=kernel)
+        params = ctrl.get_params()
+        assert "num_support_pts=5" in params
+        assert "RBFKernel" in params
+
+    def test_rbf_kernel_values(self):
+        """RBF kernel values (test_mppi.py:560-570)."""
+        kernel = RBFKernel(sigma=1.0)
+        t = jnp.array([[0.0], [1.0]], dtype=DTYPE)
+        tk = jnp.array([[0.0], [1.0]], dtype=DTYPE)
+        K = kernel(t, tk)
+        assert allclose(jnp.diag(K), jnp.ones(2, dtype=DTYPE))
+        expected_offdiag = jnp.exp(jnp.asarray(-0.5, dtype=DTYPE))
+        assert allclose(K[0, 1], expected_offdiag, atol=1e-6)
+
+    def test_multiple_commands_stable(self, noise_sigma):
+        """15-step NaN/Inf stability (test_mppi.py:572-581)."""
+        ctrl = self._make(noise_sigma, num_samples=200)
+        state = jnp.array([-2.0, -1.0], dtype=DTYPE)
+        for _ in range(15):
+            action = ctrl.command(state)
+            assert jnp.isfinite(action).all(), f"Non-finite action: {action}"
+            state = linear_dynamics(state[None], action[None])[0]
+            assert jnp.isfinite(state).all(), f"Non-finite state: {state}"
+
+
+# ---------------------------------------------------------------------------
+# SpecificActionSampler Tests
+# ---------------------------------------------------------------------------
+class TestSpecificActionSampler:
+    def test_with_specific_sampler(self, noise_sigma):
+        class MySampler(SpecificActionSampler):
+            num_trajectories = 2
+
+            def sample_trajectories(self, state, info):
+                return jnp.zeros((2, 10, 2), dtype=DTYPE)
+
+        sampler = MySampler()
+        ctrl = MPPI(linear_dynamics, quadratic_cost, 2, noise_sigma,
+                    num_samples=100, horizon=10,
+                    specific_action_sampler=sampler, seed=SEED)
+        action = ctrl.command(jnp.array([0.0, 0.0], dtype=DTYPE))
+        assert action.shape == (2,)
+        assert sampler.start_idx == 0
+        assert sampler.end_idx == 2
+        # injected rows survive into perturbed_action (bounds are +-inf here)
+        assert allclose(ctrl.perturbed_action[0:2], 0.0)
+
+
+# ---------------------------------------------------------------------------
+# Edge Cases
+# ---------------------------------------------------------------------------
+class TestEdgeCases:
+    def test_numpy_state_input(self, noise_sigma):
+        ctrl = MPPI(linear_dynamics, quadratic_cost, 2, noise_sigma,
+                    num_samples=50, horizon=5, seed=SEED)
+        state = np.array([0.0, 0.0])
+        action = ctrl.command(state)
+        assert action.shape == (2,)
+
+    def test_high_dimensional_state(self):
+        nx, nu = 10, 3
+        sigma = jnp.eye(nu, dtype=DTYPE)
+
+        def dyn(state, action):
+            delta = jnp.zeros_like(state)
+            delta = delta.at[..., :nu].set(action)
+            return state + delta
+
+        def cost(state, action):
+            return (state**2).sum(axis=-1)
+
+        ctrl = MPPI(dyn, cost, nx, sigma, num_samples=50, horizon=5, seed=SEED)
+        state = jnp.asarray(np.random.RandomState(SEED).randn(nx), dtype=DTYPE)
+        action = ctrl.command(state)
+        assert action.shape == (nu,)
+
+    def test_large_horizon(self, noise_sigma):
+        ctrl = MPPI(linear_dynamics, quadratic_cost, 2, noise_sigma,
+                    num_samples=20, horizon=50, seed=SEED)
+        action = ctrl.command(jnp.array([0.0, 0.0], dtype=DTYPE))
+        assert action.shape == (2,)
+
+    def test_single_sample(self, noise_sigma):
+        ctrl = MPPI(linear_dynamics, quadratic_cost, 2, noise_sigma,
+                    num_samples=1, horizon=5, seed=SEED)
+        action = ctrl.command(jnp.array([0.0, 0.0], dtype=DTYPE))
+        assert action.shape == (2,)
+
+    def test_float32_dtype(self):
+        sigma = jnp.eye(2, dtype=jnp.float32)
+
+        def dyn(state, action):
+            return state + action @ B.astype(jnp.float32).T
+
+        def cost(state, action):
+            return ((GOAL.astype(jnp.float32) - state) ** 2).sum(axis=-1)
+
+        ctrl = MPPI(dyn, cost, 2, sigma, num_samples=50, horizon=5, seed=SEED)
+        action = ctrl.command(jnp.array([0.0, 0.0], dtype=jnp.float32))
+        assert action.dtype == jnp.float32
+
+    def test_compile(self, noise_sigma):
+        """compile() is a no-op (always XLA-compiled) but must stay stable."""
+        ctrl = MPPI(linear_dynamics, quadratic_cost, 2, noise_sigma,
+                    num_samples=50, horizon=5, seed=SEED)
+        ctrl.compile()
+        state = jnp.array([0.0, 0.0], dtype=DTYPE)
+        action = ctrl.command(state)
+        assert action.shape == (2,)
+        assert jnp.isfinite(action).all()
+        for _ in range(5):
+            action = ctrl.command(state)
+            state = linear_dynamics(state[None], action[None])[0]
+        assert jnp.isfinite(state).all()
+
+    def test_compile_kmppi(self, noise_sigma):
+        ctrl = KMPPI(linear_dynamics, quadratic_cost, 2, noise_sigma,
+                     num_samples=50, horizon=10, num_support_pts=5, seed=SEED)
+        ctrl.compile()
+        action = ctrl.command(jnp.array([0.0, 0.0], dtype=DTYPE))
+        assert action.shape == (2,)
+        assert jnp.isfinite(action).all()
+
+
+# ---------------------------------------------------------------------------
+# MPPI_Batched Tests
+# ---------------------------------------------------------------------------
+class TestMPPIBatched:
+    def _make(self, noise_sigma, num_envs=4, **kwargs):
+        defaults = dict(
+            dynamics=linear_dynamics,
+            running_cost=quadratic_cost,
+            nx=2,
+            noise_sigma=noise_sigma,
+            num_envs=num_envs,
+            num_samples=100,
+            horizon=10,
+            lambda_=1.0,
+            seed=SEED,
+        )
+        defaults.update(kwargs)
+        return MPPI_Batched(**defaults)
+
+    def test_basic_command(self, noise_sigma):
+        ctrl = self._make(noise_sigma, num_envs=4)
+        states = jnp.asarray(np.random.RandomState(SEED).randn(4, 2), dtype=DTYPE)
+        action = ctrl.command(states)
+        assert action.shape == (4, 2)
+
+    def test_moves_toward_goal(self, noise_sigma):
+        N = 4
+        ctrl = self._make(noise_sigma, num_envs=N, num_samples=300)
+        states = jnp.array([[-3.0, -2.0], [-1.0, -1.0], [0.0, 0.0], [1.0, -1.0]],
+                           dtype=DTYPE)
+        initial_dists = jnp.linalg.norm(states - GOAL, axis=-1)
+        for _ in range(10):
+            actions = ctrl.command(states)
+            states = linear_dynamics(states, actions)
+        final_dists = jnp.linalg.norm(states - GOAL, axis=-1)
+        assert (final_dists < initial_dists).any(), \
+            f"No environment improved: {initial_dists} -> {final_dists}"
+
+    def test_bounded_actions(self, noise_sigma):
+        u_max = jnp.array([0.5, 0.5], dtype=DTYPE)
+        ctrl = self._make(noise_sigma, num_envs=4, u_max=u_max)
+        states = jnp.asarray(np.random.RandomState(SEED).randn(4, 2), dtype=DTYPE)
+        for _ in range(5):
+            actions = ctrl.command(states)
+            assert (actions <= u_max + 1e-6).all()
+            assert (actions >= -u_max - 1e-6).all()
+            states = linear_dynamics(states, actions)
+
+    def test_independent_envs(self, noise_sigma):
+        """Different initial states produce different actions (test_mppi.py:754-762)."""
+        ctrl = self._make(noise_sigma, num_envs=2, num_samples=200)
+        states = jnp.array([[-5.0, -5.0], [5.0, 5.0]], dtype=DTYPE)
+        actions = ctrl.command(states)
+        assert not allclose(actions[0], actions[1], atol=0.1), \
+            f"Actions too similar for very different states: {actions}"
+
+    def test_reset(self, noise_sigma):
+        ctrl = self._make(noise_sigma, num_envs=2)
+        states = jnp.asarray(np.random.RandomState(SEED).randn(2, 2), dtype=DTYPE)
+        ctrl.command(states)
+        U_before = ctrl.U
+        ctrl.reset()
+        assert not allclose(ctrl.U, U_before)
+
+    def test_compile(self, noise_sigma):
+        ctrl = self._make(noise_sigma, num_envs=2, num_samples=50, horizon=5)
+        ctrl.compile()
+        states = jnp.asarray(np.random.RandomState(SEED).randn(2, 2), dtype=DTYPE)
+        actions = ctrl.command(states)
+        assert actions.shape == (2, 2)
+        assert jnp.isfinite(actions).all()
+
+
+# ---------------------------------------------------------------------------
+# Solution quality helper (test_mppi.py:786-807)
+# ---------------------------------------------------------------------------
+def _run_control_loop(ctrl, state, num_steps=20):
+    total_cost = 0.0
+    actions = []
+    for _ in range(num_steps):
+        a = ctrl.command(state)
+        actions.append(a)
+        c = float(quadratic_cost(state[None], a[None])[0])
+        total_cost += c
+        state = linear_dynamics(state[None], a[None])[0]
+    final_dist = float(jnp.linalg.norm(state - GOAL))
+    actions_t = jnp.stack(actions)
+    control_smoothness = float(jnp.abs(jnp.diff(actions_t, axis=0)).sum())
+    return {
+        "accumulated_cost": total_cost,
+        "final_dist": final_dist,
+        "control_smoothness": control_smoothness,
+        "final_state": state,
+        "actions": actions_t,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Solution Quality Tests (regression guards, test_mppi.py:813-948)
+# ---------------------------------------------------------------------------
+class TestSolutionQuality:
+    def test_mppi_reaches_goal(self, noise_sigma):
+        ctrl = MPPI(linear_dynamics, quadratic_cost, 2, noise_sigma,
+                    num_samples=500, horizon=15, lambda_=1.0, seed=SEED)
+        state = jnp.array([-3.0, -2.0], dtype=DTYPE)
+        res = _run_control_loop(ctrl, state, num_steps=20)
+        assert res["final_dist"] < 2.0, \
+            f"MPPI didn't reach goal: final_dist={res['final_dist']:.4f}"
+
+    def test_smppi_stable_trajectory(self, noise_sigma):
+        ctrl = SMPPI(linear_dynamics, quadratic_cost, 2, noise_sigma,
+                     num_samples=500, horizon=15, lambda_=1.0,
+                     w_action_seq_cost=5.0, seed=SEED)
+        state = jnp.array([-1.0, -1.0], dtype=DTYPE)
+        for _ in range(10):
+            action = ctrl.command(state)
+            assert jnp.isfinite(action).all()
+            state = linear_dynamics(state[None], action[None])[0]
+            assert jnp.isfinite(state).all()
+        assert jnp.isfinite(ctrl.cost_total).all()
+        assert (ctrl.cost_total >= 0).all()
+
+    def test_kmppi_reaches_goal(self, noise_sigma):
+        # averaged over 3 seeds: single-seed distance is ~1.1 +- 0.7 (measured,
+        # matching the reference baseline 1.61 +- 0.58, CLAUDE.md:137-143), so a
+        # mean threshold is a robust regression guard under a different RNG stream
+        dists = []
+        for seed in [SEED, SEED + 1, SEED + 2]:
+            ctrl = KMPPI(linear_dynamics, quadratic_cost, 2, noise_sigma,
+                         num_samples=500, horizon=15, lambda_=1.0,
+                         num_support_pts=5, kernel=RBFKernel(sigma=2.0), seed=seed)
+            state = jnp.array([-3.0, -2.0], dtype=DTYPE)
+            res = _run_control_loop(ctrl, state, num_steps=20)
+            dists.append(res["final_dist"])
+        mean_dist = sum(dists) / len(dists)
+        assert mean_dist < 2.0, \
+            f"KMPPI didn't reach goal: mean final_dist={mean_dist:.4f} ({dists})"
+
+    def test_mppi_cost_bounded(self, noise_sigma):
+        ctrl = MPPI(linear_dynamics, quadratic_cost, 2, noise_sigma,
+                    num_samples=500, horizon=15, lambda_=1.0, seed=SEED)
+        state = jnp.array([-3.0, -2.0], dtype=DTYPE)
+        res = _run_control_loop(ctrl, state, num_steps=20)
+        assert res["accumulated_cost"] < 200.0, \
+            f"MPPI accumulated cost too high: {res['accumulated_cost']:.2f}"
+
+    def test_more_samples_improves_quality(self, noise_sigma):
+        state = jnp.array([-3.0, -2.0], dtype=DTYPE)
+        costs = []
+        for K in [50, 500]:
+            ctrl = MPPI(linear_dynamics, quadratic_cost, 2, noise_sigma,
+                        num_samples=K, horizon=15, lambda_=1.0, seed=SEED)
+            res = _run_control_loop(ctrl, state, num_steps=20)
+            costs.append(res["accumulated_cost"])
+        assert costs[1] < costs[0] * 1.5, \
+            f"More samples didn't help: K=50 cost={costs[0]:.2f}, K=500 cost={costs[1]:.2f}"
+
+    def test_reasonable_quality_across_horizons(self, noise_sigma):
+        state = jnp.array([-3.0, -2.0], dtype=DTYPE)
+        for T in [5, 15]:
+            ctrl = MPPI(linear_dynamics, quadratic_cost, 2, noise_sigma,
+                        num_samples=500, horizon=T, lambda_=1.0, seed=SEED)
+            res = _run_control_loop(ctrl, state, num_steps=20)
+            assert res["final_dist"] < 5.0, \
+                f"T={T} didn't reach goal: final_dist={res['final_dist']:.4f}"
+            assert res["accumulated_cost"] < 300.0, \
+                f"T={T} cost too high: {res['accumulated_cost']:.2f}"
+
+    def test_mppi_deterministic_quality(self, noise_sigma):
+        """Bit-determinism of whole 10-step loops under a fixed seed
+        (test_mppi.py:898-914) — stronger under JAX explicit keys."""
+        state = jnp.array([-3.0, -2.0], dtype=DTYPE)
+
+        ctrl1 = MPPI(linear_dynamics, quadratic_cost, 2, noise_sigma,
+                     num_samples=200, horizon=10, lambda_=1.0, seed=SEED)
+        res1 = _run_control_loop(ctrl1, state, num_steps=10)
+
+        ctrl2 = MPPI(linear_dynamics, quadratic_cost, 2, noise_sigma,
+                     num_samples=200, horizon=10, lambda_=1.0, seed=SEED)
+        res2 = _run_control_loop(ctrl2, state, num_steps=10)
+
+        assert allclose(res1["actions"], res2["actions"]), \
+            "Deterministic runs produced different action sequences"
+        assert abs(res1["accumulated_cost"] - res2["accumulated_cost"]) < 1e-6
+
+    def test_smppi_planned_trajectory_smoother(self, noise_sigma):
+        state = jnp.array([-3.0, -2.0], dtype=DTYPE)
+
+        ctrl_mppi = MPPI(linear_dynamics, quadratic_cost, 2, noise_sigma,
+                         num_samples=500, horizon=15, lambda_=1.0, seed=SEED)
+        ctrl_mppi.command(state)
+        mppi_plan_smooth = float(jnp.abs(jnp.diff(ctrl_mppi.U, axis=0)).sum())
+
+        ctrl_smppi = SMPPI(linear_dynamics, quadratic_cost, 2, noise_sigma,
+                           num_samples=500, horizon=15, lambda_=1.0,
+                           w_action_seq_cost=10.0, seed=SEED)
+        ctrl_smppi.command(state)
+        smppi_plan_smooth = float(
+            jnp.abs(jnp.diff(ctrl_smppi.get_action_sequence(), axis=0)).sum()
+        )
+        assert smppi_plan_smooth < mppi_plan_smooth * 2.0, \
+            f"SMPPI plan not smoother: mppi={mppi_plan_smooth:.3f}, smppi={smppi_plan_smooth:.3f}"
+
+    def test_bounded_actions_respected_in_loop(self, noise_sigma):
+        u_max = jnp.array([0.3, 0.3], dtype=DTYPE)
+        ctrl = MPPI(linear_dynamics, quadratic_cost, 2, noise_sigma,
+                    num_samples=500, horizon=15, lambda_=1.0, u_max=u_max, seed=SEED)
+        state = jnp.array([-3.0, -2.0], dtype=DTYPE)
+        res = _run_control_loop(ctrl, state, num_steps=20)
+        assert (res["actions"] <= u_max + 1e-6).all(), "Actions exceeded upper bound"
+        assert (res["actions"] >= -u_max - 1e-6).all(), "Actions exceeded lower bound"
