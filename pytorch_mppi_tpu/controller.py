@@ -173,7 +173,11 @@ class MPPI:
         stochastic_dynamics: bool = False,
         seed: Optional[int] = 0,
         key=None,
+        mesh=None,
+        sample_axis: str = "k",
     ):
+        self.mesh = mesh
+        self.sample_axis = sample_axis
         self.d = _resolve_device(device)
         sigma = _coerce_sigma(noise_sigma)
         self.dtype = sigma.dtype
@@ -285,6 +289,8 @@ class MPPI:
             terminal_state_cost=self.terminal_state_cost,
             sample_trajectories=sample_traj,
             specific_dynamics=specific_dyn,
+            mesh=self.mesh,
+            sample_axis=self.sample_axis,
         )
 
     def _initial_state(self, U0):
@@ -505,6 +511,8 @@ class SMPPI(MPPI):
             terminal_state_cost=self.terminal_state_cost,
             sample_trajectories=sample_traj,
             specific_dynamics=specific_dyn,
+            mesh=self.mesh,
+            sample_axis=self.sample_axis,
         )
 
     def _initial_state(self, U0):
@@ -615,6 +623,8 @@ class KMPPI(MPPI):
             terminal_state_cost=self.terminal_state_cost,
             sample_trajectories=sample_traj,
             specific_dynamics=specific_dyn,
+            mesh=self.mesh,
+            sample_axis=self.sample_axis,
         )
 
     def _initial_state(self, U0):
@@ -708,7 +718,13 @@ class MPPI_Batched:
         stochastic_dynamics: bool = False,
         seed: Optional[int] = 0,
         key=None,
+        mesh=None,
+        env_axis: str = "data",
+        sample_axis: Optional[str] = None,
     ):
+        self.mesh = mesh
+        self.env_axis = env_axis
+        self.sample_axis = sample_axis
         self.d = _resolve_device(device)
         sigma = _coerce_sigma(noise_sigma)
         self.dtype = sigma.dtype
@@ -749,7 +765,8 @@ class MPPI_Batched:
             dtype=self.dtype,
         )
         self._fns = _solve.make_batched_step(
-            self.config, self.N, dynamics, running_cost
+            self.config, self.N, dynamics, running_cost,
+            mesh=mesh, env_axis=env_axis, sample_axis=sample_axis,
         )
         if key is None:
             key = jax.random.PRNGKey(0 if seed is None else int(seed))

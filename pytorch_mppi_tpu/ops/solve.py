@@ -43,6 +43,25 @@ from ..config import (
 # ---------------------------------------------------------------------------
 
 
+def make_constrainer(mesh):
+    """Return a ``with_sharding_constraint`` helper bound to ``mesh`` (identity when
+    mesh is None).  This is the scaling-book recipe: annotate the big intermediates,
+    let XLA's SPMD partitioner insert the psum/pmin collectives (SURVEY.md §5.8 —
+    the only cross-device reductions MPPI needs are beta, eta and the omega-weighted
+    noise reduction)."""
+    if mesh is None:
+        return lambda x, *spec: x
+
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def cset(x, *spec):
+        return jax.lax.with_sharding_constraint(
+            x, NamedSharding(mesh, PartitionSpec(*spec))
+        )
+
+    return cset
+
+
 def _sigma_factors(noise_sigma: jax.Array):
     """Cholesky factor and inverse of the (nu, nu) control covariance.
 
@@ -272,15 +291,24 @@ def make_mppi_step(
     sample_trajectories: Optional[Callable] = None,
     specific_dynamics: Optional[Callable] = None,
     jit: bool = True,
+    mesh=None,
+    sample_axis: str = "k",
 ) -> StepFns:
     """Build the jitted MPPI solve for one static configuration.
 
     The returned ``step`` implements the full ``command()`` call stack
     (SURVEY.md §3.1) as a single traced program.
+
+    With ``mesh``, the K sample axis is sharded over ``sample_axis``: noise
+    generation, rollout and costs stay fully sharded; XLA inserts the three small
+    collectives the weighting needs (min, sum, weighted-noise psum) over ICI.
+    Thanks to partitionable threefry the results are bit-identical to the
+    single-device solve.
     """
     dyn = wrap_dynamics(config, dynamics)
     cost = wrap_cost(config, running_cost)
     dtype = config.dtype
+    cset = make_constrainer(mesh)
 
     def _solve(params: MPPIParams, state: MPPIState, x0, info, shift: bool):
         U = state.U
@@ -290,6 +318,7 @@ def make_mppi_step(
 
         x0 = jnp.asarray(x0, dtype)
         noise = sample_noise(k_noise, (config.K, config.T), params, dtype)
+        noise = cset(noise, sample_axis)
         perturbed = U[None] + noise
         perturbed = inject_specific_actions(
             config, sample_trajectories, perturbed, x0, info
@@ -310,7 +339,7 @@ def make_mppi_step(
         )
         # action perturbation cost: sum(U * action_cost) over (T, nu) (mppi.py:414-416)
         perturbation_cost = jnp.sum(U[None] * action_cost, axis=(1, 2))
-        cost_total = rollout_cost + perturbation_cost
+        cost_total = cset(rollout_cost + perturbation_cost, sample_axis)
 
         cost_total_non_zero, omega = compute_weighting(cost_total, params.lambda_)
         # weighted noise reduction == (K,)·(K, T·nu) matmul on the MXU (mppi.py:268-270)
@@ -387,10 +416,13 @@ def make_smppi_step(
     sample_trajectories: Optional[Callable] = None,
     specific_dynamics: Optional[Callable] = None,
     jit: bool = True,
+    mesh=None,
+    sample_axis: str = "k",
 ) -> StepFns:
     dyn = wrap_dynamics(config, dynamics)
     cost = wrap_cost(config, running_cost)
     dtype = config.dtype
+    cset = make_constrainer(mesh)
 
     def _solve(params: SMPPIParams, state: SMPPIState, x0, info, shift: bool):
         base = params.base
@@ -405,6 +437,7 @@ def make_smppi_step(
         x0 = jnp.asarray(x0, dtype)
         # noise lives in action-*rate* space (mppi.py:539-552)
         noise = sample_noise(k_noise, (config.K, config.T), base, dtype)
+        noise = cset(noise, sample_axis)
         perturbed_control = _bound(U[None] + noise, base.u_min, base.u_max)
         perturbed_action = action_sequence[None] + perturbed_control * params.delta_t
         perturbed_action = inject_specific_actions(
@@ -430,7 +463,7 @@ def make_smppi_step(
             base, x0, perturbed_action, k_roll,
         )
         perturbation_cost = jnp.sum(U[None] * action_cost, axis=(1, 2))
-        cost_total = rollout_cost + perturbation_cost + smoothness
+        cost_total = cset(rollout_cost + perturbation_cost + smoothness, sample_axis)
 
         cost_total_non_zero, omega = compute_weighting(cost_total, base.lambda_)
         perturbations = jnp.einsum("k,ktn->tn", omega, noise)
@@ -478,11 +511,14 @@ def make_kmppi_step(
     sample_trajectories: Optional[Callable] = None,
     specific_dynamics: Optional[Callable] = None,
     jit: bool = True,
+    mesh=None,
+    sample_axis: str = "k",
 ) -> StepFns:
     dyn = wrap_dynamics(config, dynamics)
     cost = wrap_cost(config, running_cost)
     dtype = config.dtype
     nsp = config.num_support_pts
+    cset = make_constrainer(mesh)
 
     def _solve(params: KMPPIParams, state: KMPPIState, x0, info, shift: bool):
         base = params.base
@@ -496,6 +532,7 @@ def make_kmppi_step(
         x0 = jnp.asarray(x0, dtype)
         # noise sampled only at support points (mppi.py:657-664)
         noise_theta = sample_noise(k_noise, (config.K, nsp), base, dtype)
+        noise_theta = cset(noise_theta, sample_axis)
         perturbed_pts = _bound(theta[None] + noise_theta, base.u_min, base.u_max)
         noise_theta = perturbed_pts - theta[None]
         # deparameterize to the full horizon: one (T,nsp)@(K,nsp,nu) MXU matmul
@@ -515,7 +552,7 @@ def make_kmppi_step(
             base, x0, perturbed, k_roll,
         )
         perturbation_cost = jnp.sum(U[None] * action_cost, axis=(1, 2))
-        cost_total = rollout_cost + perturbation_cost
+        cost_total = cset(rollout_cost + perturbation_cost, sample_axis)
 
         cost_total_non_zero, omega = compute_weighting(cost_total, base.lambda_)
         # weighted update in control-point space (mppi.py:672-682)
@@ -564,6 +601,9 @@ def make_batched_step(
     dynamics: Callable,
     running_cost: Callable,
     jit: bool = True,
+    mesh=None,
+    env_axis: str = "data",
+    sample_axis: Optional[str] = None,
 ):
     """N parallel plants sharing one dynamics/cost call per step.
 
@@ -572,25 +612,33 @@ def make_batched_step(
     weighting is an independent softmax per plant along K (mppi.py:860-868).
 
     This is the scenario-batch component that shards across a device mesh: with only
-    N sharded, the solve is embarrassingly parallel (SURVEY.md §3.4).
+    N sharded over ``env_axis`` the solve is embarrassingly parallel (SURVEY.md §3.4);
+    optionally K also shards over ``sample_axis`` (pod-scale config: 1024 plants x
+    K=16k), in which case XLA inserts the per-plant min/sum reductions over ICI.
     """
     dyn = wrap_dynamics(config, dynamics)
     cost = wrap_cost(config, running_cost)
     dtype = config.dtype
     N, K, T, nu, nx = num_envs, config.K, config.T, config.nu, config.nx
+    cset = make_constrainer(mesh)
+    kax = sample_axis  # may be None: K replicated within each env shard
 
     def _solve(params: MPPIParams, state: BatchedState, x0, shift: bool):
         U = state.U  # (N, T, nu)
         if shift:
             U = jnp.roll(U, -1, axis=1).at[:, -1].set(params.u_init)
+        U = cset(U, env_axis)
         key, k_noise, k_roll = jax.random.split(state.key, 3)
 
         x0 = jnp.asarray(x0, dtype)  # (N, nx)
         noise = sample_noise(k_noise, (K, T), params, dtype)  # shared across envs
+        noise = cset(noise, kax)
         perturbed = _bound(U[:, None] + noise[None], params.u_min, params.u_max)
+        perturbed = cset(perturbed, env_axis, kax)
         actual_noise = perturbed - U[:, None]  # (N, K, T, nu)
 
         state0 = jnp.broadcast_to(x0[:, None], (N, K, nx)).reshape(N * K, nx)
+        state0 = cset(state0, (env_axis, kax) if kax else env_axis)
         u_scaled = jnp.moveaxis(perturbed, 2, 0).reshape(T, N * K, nu) * jnp.asarray(
             config.u_scale, dtype
         )
@@ -618,7 +666,7 @@ def make_batched_step(
             actual_noise, sigma_inv, params.lambda_, config.noise_abs_cost
         )
         perturbation_cost = jnp.sum(U[:, None] * action_cost, axis=(2, 3))
-        total_cost = cost_total + perturbation_cost  # (N, K)
+        total_cost = cset(cost_total + perturbation_cost, env_axis, kax)  # (N, K)
 
         cost_total_non_zero, omega = compute_weighting(
             total_cost, params.lambda_, axis=1
