@@ -50,6 +50,11 @@ class MPPIConfig:
     # The reference relies on torch's global RNG inside user dynamics; JAX requires
     # explicit keys, so this is the idiomatic equivalent for rollout_samples > 1.
     stochastic_dynamics: bool = False
+    # JAX-native extension: dynamics takes a leading params pytree (learned models).
+    # The reference mutates a torch nn.Module in place during online retraining
+    # (tests/pendulum_approximate.py:119-167); here model weights are *traced*
+    # arguments so retraining swaps them with zero recompilation.
+    parameterized_dynamics: bool = False
     dtype: Any = jnp.float32
 
     # SMPPI extras (reference mppi.py:451-570). Only read by the SMPPI factory.

@@ -171,6 +171,7 @@ class MPPI:
         specific_action_sampler: Optional[SpecificActionSampler] = None,
         noise_abs_cost: bool = False,
         stochastic_dynamics: bool = False,
+        dynamics_params=None,
         seed: Optional[int] = 0,
         key=None,
         mesh=None,
@@ -178,6 +179,8 @@ class MPPI:
     ):
         self.mesh = mesh
         self.sample_axis = sample_axis
+        # learned-model weights: a traced pytree, swappable with zero recompilation
+        self.dynamics_params = dynamics_params
         self.d = _resolve_device(device)
         sigma = _coerce_sigma(noise_sigma)
         self.dtype = sigma.dtype
@@ -271,6 +274,7 @@ class MPPI:
             num_specific_trajectories=self._n_specific,
             step_dependent_dynamics=self.step_dependency,
             stochastic_dynamics=self.stochastic_dynamics,
+            parameterized_dynamics=self.dynamics_params is not None,
             dtype=self.dtype,
         )
 
@@ -409,7 +413,9 @@ class MPPI:
                 f"state must have trailing dimension nx={self.nx}; got shape {x0.shape}"
             )
         fn = self._fns.step if shift_nominal_trajectory else self._fns.step_no_shift
-        new_state, action, artifacts = fn(self._params, self._state, x0, info)
+        new_state, action, artifacts = fn(
+            self._params, self._state, x0, info, self.dynamics_params
+        )
         self._state = new_state
         self.state = x0
         self._store_artifacts(artifacts)
@@ -433,7 +439,8 @@ class MPPI:
             U = self.get_action_sequence()
         key = self._next_key() if self.stochastic_dynamics else None
         return self._fns.get_rollouts(
-            self._params, state, U, key=key, num_rollouts=num_rollouts
+            self._params, state, U, key=key, num_rollouts=num_rollouts,
+            dyn_params=self.dynamics_params,
         )
 
 
@@ -570,7 +577,9 @@ class SMPPI(MPPI):
         x0 = jnp.asarray(state, self.dtype)
         self._smppi_params = self._full_params()
         fn = self._fns.step if shift_nominal_trajectory else self._fns.step_no_shift
-        new_state, action, artifacts = fn(self._smppi_params, self._state, x0, info)
+        new_state, action, artifacts = fn(
+            self._smppi_params, self._state, x0, info, self.dynamics_params
+        )
         self._state = new_state
         self.state = x0
         self._store_artifacts(artifacts)
@@ -679,7 +688,9 @@ class KMPPI(MPPI):
         x0 = jnp.asarray(state, self.dtype)
         params = self._full_params()
         fn = self._fns.step if shift_nominal_trajectory else self._fns.step_no_shift
-        new_state, action, artifacts = fn(params, self._state, x0, info)
+        new_state, action, artifacts = fn(
+            params, self._state, x0, info, self.dynamics_params
+        )
         self._state = new_state
         self.state = x0
         self._store_artifacts(artifacts)
@@ -716,6 +727,7 @@ class MPPI_Batched:
         step_dependent_dynamics: bool = False,
         noise_abs_cost: bool = False,
         stochastic_dynamics: bool = False,
+        dynamics_params=None,
         seed: Optional[int] = 0,
         key=None,
         mesh=None,
@@ -725,6 +737,7 @@ class MPPI_Batched:
         self.mesh = mesh
         self.env_axis = env_axis
         self.sample_axis = sample_axis
+        self.dynamics_params = dynamics_params
         self.d = _resolve_device(device)
         sigma = _coerce_sigma(noise_sigma)
         self.dtype = sigma.dtype
@@ -762,6 +775,7 @@ class MPPI_Batched:
             noise_abs_cost=bool(noise_abs_cost),
             step_dependent_dynamics=bool(step_dependent_dynamics),
             stochastic_dynamics=bool(stochastic_dynamics),
+            parameterized_dynamics=dynamics_params is not None,
             dtype=self.dtype,
         )
         self._fns = _solve.make_batched_step(
@@ -823,7 +837,9 @@ class MPPI_Batched:
         :returns: (N, nu) actions, or (N, u_per_command, nu)"""
         x0 = jnp.asarray(states, self.dtype)
         fn = self._fns.step if shift_nominal_trajectory else self._fns.step_no_shift
-        new_state, action, artifacts = fn(self._params, self._state, x0)
+        new_state, action, artifacts = fn(
+            self._params, self._state, x0, self.dynamics_params
+        )
         self._state = new_state
         self.cost_total = artifacts.cost_total
         self.omega = artifacts.omega

@@ -114,15 +114,25 @@ def _bound(action: jax.Array, lo: jax.Array, hi: jax.Array) -> jax.Array:
 
 
 def wrap_dynamics(config: MPPIConfig, dynamics: Callable) -> Callable:
-    """Resolve the user dynamics to a uniform ``(state, u, t, key) -> next_state``
-    signature at trace time (analog of reference init wrapping, mppi.py:147-156)."""
+    """Resolve the user dynamics to a uniform ``(dyn_params, state, u, t, key) ->
+    next_state`` signature at trace time (analog of reference init wrapping,
+    mppi.py:147-156).  The leading params pytree is only forwarded when
+    ``parameterized_dynamics`` is set (learned models, traced weights)."""
+    if config.parameterized_dynamics:
+        if config.stochastic_dynamics:
+            if config.step_dependent_dynamics:
+                return dynamics  # (p, state, u, t, key)
+            return lambda p, s, u, t, k: dynamics(p, s, u, k)
+        if config.step_dependent_dynamics:
+            return lambda p, s, u, t, k: dynamics(p, s, u, t)
+        return lambda p, s, u, t, k: dynamics(p, s, u)
     if config.stochastic_dynamics:
         if config.step_dependent_dynamics:
-            return dynamics  # (state, u, t, key)
-        return lambda s, u, t, k: dynamics(s, u, k)
+            return lambda p, s, u, t, k: dynamics(s, u, t, k)
+        return lambda p, s, u, t, k: dynamics(s, u, k)
     if config.step_dependent_dynamics:
-        return lambda s, u, t, k: dynamics(s, u, t)
-    return lambda s, u, t, k: dynamics(s, u)
+        return lambda p, s, u, t, k: dynamics(s, u, t)
+    return lambda p, s, u, t, k: dynamics(s, u)
 
 
 def wrap_cost(config: MPPIConfig, running_cost: Callable) -> Callable:
@@ -138,7 +148,7 @@ def wrap_cost(config: MPPIConfig, running_cost: Callable) -> Callable:
 
 def rollout_costs(
     config: MPPIConfig,
-    dynamics: Callable,  # already wrapped: (state, u, t, key) -> next_state
+    dynamics: Callable,  # already wrapped: (dyn_params, state, u, t, key) -> next_state
     running_cost: Callable,  # already wrapped: (state, u, t) -> cost
     terminal_state_cost: Optional[Callable],
     specific_dynamics: Optional[Callable],
@@ -146,6 +156,7 @@ def rollout_costs(
     x0: jax.Array,  # (nx,) or (K, nx), already coerced to config.dtype
     perturbed_actions: jax.Array,  # (K, T, nu) unscaled
     key: jax.Array,
+    dyn_params=None,
 ):
     """T-step rollout of K·M trajectories, returning (cost_total (K,), states, actions).
 
@@ -180,7 +191,7 @@ def rollout_costs(
         state, cost_samples, cost_var = carry
         u_t, t, k_t = inp  # u_t: (K, nu)
         u_flat = jnp.broadcast_to(u_t[None], (M, K, nu)).reshape(M * K, nu)
-        next_state = dynamics(state, u_flat, t, k_t)
+        next_state = dynamics(dyn_params, state, u_flat, t, k_t)
         if specific_dynamics is not None:
             # reference single path passes the *new* state for both args
             # (mppi.py:315-317); multi path passes the previous state (mppi.py:358-360).
@@ -310,7 +321,7 @@ def make_mppi_step(
     dtype = config.dtype
     cset = make_constrainer(mesh)
 
-    def _solve(params: MPPIParams, state: MPPIState, x0, info, shift: bool):
+    def _solve(params: MPPIParams, state: MPPIState, x0, info, shift: bool, dyn_params=None):
         U = state.U
         if shift:
             U = _shift_U(U, params.u_init)
@@ -335,7 +346,7 @@ def make_mppi_step(
 
         rollout_cost, states, actions = rollout_costs(
             config, dyn, cost, terminal_state_cost, specific_dynamics,
-            params, x0, perturbed, k_roll,
+            params, x0, perturbed, k_roll, dyn_params=dyn_params,
         )
         # action perturbation cost: sum(U * action_cost) over (T, nu) (mppi.py:414-416)
         perturbation_cost = jnp.sum(U[None] * action_cost, axis=(1, 2))
@@ -358,11 +369,11 @@ def make_mppi_step(
         action = _select_action(config, U_new)
         return MPPIState(U=U_new, key=key), action, artifacts
 
-    def step(params, state, x0, info=None):
-        return _solve(params, state, x0, info, shift=True)
+    def step(params, state, x0, info=None, dyn_params=None):
+        return _solve(params, state, x0, info, shift=True, dyn_params=dyn_params)
 
-    def step_no_shift(params, state, x0, info=None):
-        return _solve(params, state, x0, info, shift=False)
+    def step_no_shift(params, state, x0, info=None, dyn_params=None):
+        return _solve(params, state, x0, info, shift=False, dyn_params=dyn_params)
 
     get_rollouts = make_get_rollouts(config, dyn)
 
@@ -377,7 +388,8 @@ def make_get_rollouts(config: MPPIConfig, wrapped_dynamics: Callable) -> Callabl
     dtype = config.dtype
 
     @functools.partial(jax.jit, static_argnames=("num_rollouts",))
-    def get_rollouts(params: MPPIParams, x0, U, key=None, num_rollouts: int = 1):
+    def get_rollouts(params: MPPIParams, x0, U, key=None, num_rollouts: int = 1,
+                     dyn_params=None):
         x0 = jnp.asarray(x0, dtype).reshape(-1, config.nx)
         if x0.shape[0] == 1:
             x0 = jnp.broadcast_to(x0, (num_rollouts, config.nx))
@@ -393,7 +405,7 @@ def make_get_rollouts(config: MPPIConfig, wrapped_dynamics: Callable) -> Callabl
             u = jnp.broadcast_to(u_t[None], (x0.shape[0], config.nu)) * jnp.asarray(
                 config.u_scale, dtype
             )
-            nxt = wrapped_dynamics(state, u, t, k_t)
+            nxt = wrapped_dynamics(dyn_params, state, u, t, k_t)
             nxt = nxt[..., : config.nx]
             return nxt, nxt
 
@@ -424,7 +436,7 @@ def make_smppi_step(
     dtype = config.dtype
     cset = make_constrainer(mesh)
 
-    def _solve(params: SMPPIParams, state: SMPPIState, x0, info, shift: bool):
+    def _solve(params: SMPPIParams, state: SMPPIState, x0, info, shift: bool, dyn_params=None):
         base = params.base
         U, action_sequence = state.U, state.action_sequence
         if shift:
@@ -460,7 +472,7 @@ def make_smppi_step(
 
         rollout_cost, states, actions = rollout_costs(
             config, dyn, cost, terminal_state_cost, specific_dynamics,
-            base, x0, perturbed_action, k_roll,
+            base, x0, perturbed_action, k_roll, dyn_params=dyn_params,
         )
         perturbation_cost = jnp.sum(U[None] * action_cost, axis=(1, 2))
         cost_total = cset(rollout_cost + perturbation_cost + smoothness, sample_axis)
@@ -484,11 +496,11 @@ def make_smppi_step(
         new_state = SMPPIState(U=U_new, action_sequence=action_sequence_new, key=key)
         return new_state, action, artifacts
 
-    def step(params, state, x0, info=None):
-        return _solve(params, state, x0, info, shift=True)
+    def step(params, state, x0, info=None, dyn_params=None):
+        return _solve(params, state, x0, info, shift=True, dyn_params=dyn_params)
 
-    def step_no_shift(params, state, x0, info=None):
-        return _solve(params, state, x0, info, shift=False)
+    def step_no_shift(params, state, x0, info=None, dyn_params=None):
+        return _solve(params, state, x0, info, shift=False, dyn_params=dyn_params)
 
     get_rollouts = make_get_rollouts(config, dyn)
 
@@ -520,7 +532,7 @@ def make_kmppi_step(
     nsp = config.num_support_pts
     cset = make_constrainer(mesh)
 
-    def _solve(params: KMPPIParams, state: KMPPIState, x0, info, shift: bool):
+    def _solve(params: KMPPIParams, state: KMPPIState, x0, info, shift: bool, dyn_params=None):
         base = params.base
         U, theta = state.U, state.theta
         if shift:
@@ -549,7 +561,7 @@ def make_kmppi_step(
 
         rollout_cost, states, actions = rollout_costs(
             config, dyn, cost, terminal_state_cost, specific_dynamics,
-            base, x0, perturbed, k_roll,
+            base, x0, perturbed, k_roll, dyn_params=dyn_params,
         )
         perturbation_cost = jnp.sum(U[None] * action_cost, axis=(1, 2))
         cost_total = cset(rollout_cost + perturbation_cost, sample_axis)
@@ -571,11 +583,11 @@ def make_kmppi_step(
         action = _select_action(config, U_new)
         return KMPPIState(U=U_new, theta=theta_new, key=key), action, artifacts
 
-    def step(params, state, x0, info=None):
-        return _solve(params, state, x0, info, shift=True)
+    def step(params, state, x0, info=None, dyn_params=None):
+        return _solve(params, state, x0, info, shift=True, dyn_params=dyn_params)
 
-    def step_no_shift(params, state, x0, info=None):
-        return _solve(params, state, x0, info, shift=False)
+    def step_no_shift(params, state, x0, info=None, dyn_params=None):
+        return _solve(params, state, x0, info, shift=False, dyn_params=dyn_params)
 
     get_rollouts = make_get_rollouts(config, dyn)
 
@@ -623,7 +635,7 @@ def make_batched_step(
     cset = make_constrainer(mesh)
     kax = sample_axis  # may be None: K replicated within each env shard
 
-    def _solve(params: MPPIParams, state: BatchedState, x0, shift: bool):
+    def _solve(params: MPPIParams, state: BatchedState, x0, shift: bool, dyn_params=None):
         U = state.U  # (N, T, nu)
         if shift:
             U = jnp.roll(U, -1, axis=1).at[:, -1].set(params.u_init)
@@ -651,7 +663,7 @@ def make_batched_step(
         def body(carry, inp):
             s, c_tot = carry
             u_t, t, k_t = inp
-            s = dyn(s, u_t, t, k_t)
+            s = dyn(dyn_params, s, u_t, t, k_t)
             c = cost(s, u_t, t).reshape(N, K)
             return (s, c_tot + c), None
 
@@ -688,11 +700,11 @@ def make_batched_step(
         )
         return BatchedState(U=U_new, key=key), action, artifacts
 
-    def step(params, state, x0):
-        return _solve(params, state, x0, shift=True)
+    def step(params, state, x0, dyn_params=None):
+        return _solve(params, state, x0, shift=True, dyn_params=dyn_params)
 
-    def step_no_shift(params, state, x0):
-        return _solve(params, state, x0, shift=False)
+    def step_no_shift(params, state, x0, dyn_params=None):
+        return _solve(params, state, x0, shift=False, dyn_params=dyn_params)
 
     if jit:
         step = jax.jit(step)
