@@ -1,0 +1,461 @@
+"""Hyperparameter autotuning for MPPI controllers.
+
+Functional mirror of the reference tuning layer (``/root/reference/src/pytorch_mppi/
+autotune.py``): an :class:`Autotune` core that flattens/unflattens
+:class:`TunableParameter` vectors, applies them to a live controller, and drives a
+pluggable :class:`Optimizer`.
+
+Differences from the reference, by design:
+  * CMA-ES is implemented natively (:class:`CMAES`, Hansen's (mu/mu_w, lambda)
+    algorithm) instead of depending on the ``cma`` package — zero extra deps.
+  * Parameter application can never go stale: the controllers derive sampler factors
+    (cholesky/inverse) inside the jitted solve from the params pytree, fixing the
+    vestigial ``noise_dist`` issue the reference has (autotune.py:161,188 set an
+    attribute the controller never reads — noted in SURVEY.md §2.2 A5).
+  * Sigma/Mu/Lambda tuning triggers **zero recompilation** (traced params);
+    Horizon changes shapes and re-specializes, as documented.
+"""
+from __future__ import annotations
+
+import abc
+import logging
+import typing
+
+import jax.numpy as jnp
+import numpy as np
+
+from .controller import MPPI
+from .utils.batch import ensure_tensor
+
+logger = logging.getLogger(__name__)
+
+
+class EvaluationResult(typing.NamedTuple):
+    """Result of one evaluation of the controller (reference autotune.py:18-26)."""
+
+    # (N) cost for each trajectory evaluated
+    costs: jnp.ndarray
+    # (N x H x nx) rollouts, H horizon, nx state dimension
+    rollouts: jnp.ndarray
+    # parameter values populated by the tuner after evaluation returns
+    params: dict = None
+    # iteration number populated by the tuner after evaluation returns
+    iteration: int = None
+
+
+# ---------------------------------------------------------------------------
+# Native CMA-ES (replaces the `cma` package dependency, reference autotune.py:13,51-84)
+# ---------------------------------------------------------------------------
+
+
+class CMAES:
+    """(mu/mu_w, lambda)-CMA-ES with rank-1 + rank-mu covariance adaptation and
+    CSA step-size control (Hansen, "The CMA Evolution Strategy: A Tutorial").
+
+    ask/tell interface compatible with how the reference drives
+    ``cma.CMAEvolutionStrategy`` (autotune.py:64-84).
+    """
+
+    def __init__(self, x0, sigma0: float, popsize: int = 10, seed: int = 0):
+        self.rng = np.random.RandomState(seed)
+        self.mean = np.asarray(x0, dtype=np.float64).copy()
+        self.sigma = float(sigma0)
+        self.n = len(self.mean)
+        n = self.n
+        self.lam = max(int(popsize), 4 + int(3 * np.log(n)))
+        self.mu = self.lam // 2
+        w = np.log(self.mu + 0.5) - np.log(np.arange(1, self.mu + 1))
+        self.weights = w / w.sum()
+        self.mueff = 1.0 / np.sum(self.weights**2)
+
+        # strategy parameters (standard defaults)
+        self.cc = (4 + self.mueff / n) / (n + 4 + 2 * self.mueff / n)
+        self.cs = (self.mueff + 2) / (n + self.mueff + 5)
+        self.c1 = 2 / ((n + 1.3) ** 2 + self.mueff)
+        self.cmu = min(
+            1 - self.c1,
+            2 * (self.mueff - 2 + 1 / self.mueff) / ((n + 2) ** 2 + self.mueff),
+        )
+        self.damps = 1 + 2 * max(0, np.sqrt((self.mueff - 1) / (n + 1)) - 1) + self.cs
+        self.chiN = np.sqrt(n) * (1 - 1 / (4 * n) + 1 / (21 * n**2))
+
+        self.pc = np.zeros(n)
+        self.ps = np.zeros(n)
+        self.C = np.eye(n)
+        self.B = np.eye(n)
+        self.D = np.ones(n)
+        self.invsqrtC = np.eye(n)
+        self.generation = 0
+        self._asked = None
+        self.best_x = self.mean.copy()
+        self.best_f = np.inf
+
+    class _Best(typing.NamedTuple):
+        x: np.ndarray
+        f: float
+
+    @property
+    def best(self):
+        return self._Best(self.best_x, self.best_f)
+
+    def ask(self):
+        z = self.rng.randn(self.lam, self.n)
+        y = z @ (self.B * self.D).T
+        xs = self.mean + self.sigma * y
+        self._asked = (xs, y)
+        return [x.copy() for x in xs]
+
+    def tell(self, solutions, fitnesses):
+        xs = np.asarray(solutions, dtype=np.float64)
+        fs = np.asarray(fitnesses, dtype=np.float64)
+        order = np.argsort(fs)
+        if fs[order[0]] < self.best_f:
+            self.best_f = float(fs[order[0]])
+            self.best_x = xs[order[0]].copy()
+
+        old_mean = self.mean.copy()
+        sel = xs[order[: self.mu]]
+        self.mean = self.weights @ sel
+
+        y_mean = (self.mean - old_mean) / self.sigma
+        self.ps = (1 - self.cs) * self.ps + np.sqrt(
+            self.cs * (2 - self.cs) * self.mueff
+        ) * (self.invsqrtC @ y_mean)
+        hsig = float(
+            np.linalg.norm(self.ps)
+            / np.sqrt(1 - (1 - self.cs) ** (2 * (self.generation + 1)))
+            / self.chiN
+            < 1.4 + 2 / (self.n + 1)
+        )
+        self.pc = (1 - self.cc) * self.pc + hsig * np.sqrt(
+            self.cc * (2 - self.cc) * self.mueff
+        ) * y_mean
+
+        ys = (sel - old_mean) / self.sigma
+        rank_mu = sum(w * np.outer(y, y) for w, y in zip(self.weights, ys))
+        self.C = (
+            (1 - self.c1 - self.cmu) * self.C
+            + self.c1
+            * (np.outer(self.pc, self.pc) + (1 - hsig) * self.cc * (2 - self.cc) * self.C)
+            + self.cmu * rank_mu
+        )
+        self.sigma *= np.exp(
+            (self.cs / self.damps) * (np.linalg.norm(self.ps) / self.chiN - 1)
+        )
+        self.generation += 1
+
+        # eigendecomposition for sampling (n is tiny for hyperparameters)
+        self.C = (self.C + self.C.T) / 2
+        d2, self.B = np.linalg.eigh(self.C)
+        self.D = np.sqrt(np.maximum(d2, 1e-20))
+        self.invsqrtC = self.B @ np.diag(1.0 / self.D) @ self.B.T
+
+
+# ---------------------------------------------------------------------------
+# Optimizer protocol (reference autotune.py:29-48)
+# ---------------------------------------------------------------------------
+
+
+class Optimizer:
+    def __init__(self):
+        self.tuner: typing.Optional[Autotune] = None
+        self.optim = None
+
+    @abc.abstractmethod
+    def setup_optimization(self) -> None:
+        """Create backend optim object from the tuner's parameters."""
+
+    @abc.abstractmethod
+    def optimize_step(self) -> EvaluationResult:
+        """Optimize a single step, returning the latest evaluation result."""
+
+    def optimize_all(self, iterations) -> EvaluationResult:
+        res = None
+        for _ in range(iterations):
+            res = self.optimize_step()
+        return res
+
+
+class CMAESOpt(Optimizer):
+    """Local search via CMA-ES around the current parameter values
+    (reference autotune.py:51-84, backed by the native :class:`CMAES`)."""
+
+    def __init__(self, population=10, sigma=0.1, seed=None):
+        self.population = population
+        self.sigma = sigma
+        self.seed = seed
+        super().__init__()
+
+    def setup_optimization(self):
+        x0 = self.tuner.flatten_params()
+        seed = self.seed if self.seed is not None else np.random.randint(0, 10000)
+        self.optim = CMAES(x0=x0, sigma0=self.sigma, popsize=self.population, seed=seed)
+
+    def optimize_step(self):
+        params = self.optim.ask()
+        cost_per_param = []
+        for param in params:
+            self.tuner.unflatten_params(param)
+            res = self.tuner.evaluate_fn()
+            cost_per_param.append(float(jnp.mean(res.costs)))
+        self.optim.tell(params, np.array(cost_per_param))
+
+        # re-evaluate the best (reference autotune.py:81-84)
+        self.tuner.unflatten_params(self.optim.best.x)
+        return self.tuner.evaluate_fn()
+
+
+# ---------------------------------------------------------------------------
+# Tunable parameters (reference autotune.py:87-241)
+# ---------------------------------------------------------------------------
+
+
+class TunableParameter(abc.ABC):
+    """A parameter the autotuner can adjust; holds a reference to the object that
+    owns the actual value (reference autotune.py:87-121)."""
+
+    @staticmethod
+    @abc.abstractmethod
+    def name():
+        """Name of the parameter."""
+
+    @abc.abstractmethod
+    def dim(self):
+        """Dimension of the parameter."""
+
+    @abc.abstractmethod
+    def get_current_parameter_value(self):
+        """Current underlying value."""
+
+    @abc.abstractmethod
+    def ensure_valid_value(self, value):
+        """Return a validated value as close in intent to the input as possible."""
+
+    @abc.abstractmethod
+    def apply_parameter_value(self, value):
+        """Apply the value to the underlying object."""
+
+    @abc.abstractmethod
+    def attach_to_state(self, state: dict):
+        """Reattach the parameter to new internal state (multiprocessing reload)."""
+
+    def get_parameter_value_from_config(self, config):
+        return config[self.name()]
+
+    def get_config_from_parameter_value(self, value):
+        return {self.name(): value}
+
+
+class MPPIParameter(TunableParameter, abc.ABC):
+    def __init__(self, mppi: MPPI, dim=None):
+        self.mppi = mppi
+        self._dim = dim
+        if self.mppi is not None:
+            self.d = self.mppi.d
+            self.dtype = self.mppi.dtype
+            if dim is None:
+                self._dim = self.mppi.nu
+
+    def attach_to_state(self, state: dict):
+        self.mppi = state["mppi"]
+        self.d = self.mppi.d
+        self.dtype = self.mppi.dtype
+
+
+class SigmaParameter(MPPIParameter):
+    """Diagonal of the noise covariance (reference autotune.py:140-168).  Applying
+    rebuilds nothing: sampler factors derive from the params pytree inside jit."""
+
+    eps = 0.0001
+
+    @staticmethod
+    def name():
+        return "sigma"
+
+    def dim(self):
+        return self._dim
+
+    def get_current_parameter_value(self):
+        return jnp.diag(self.mppi.noise_sigma)
+
+    def ensure_valid_value(self, value):
+        sigma = ensure_tensor(self.d, self.dtype, value)
+        return jnp.maximum(sigma, self.eps)
+
+    def apply_parameter_value(self, value):
+        sigma = self.ensure_valid_value(value)
+        self.mppi.noise_sigma = jnp.diag(sigma)
+
+    def get_parameter_value_from_config(self, config):
+        return jnp.asarray(
+            [config[f"{self.name()}{i}"] for i in range(self.dim())], self.dtype
+        )
+
+    def get_config_from_parameter_value(self, value):
+        return {f"{self.name()}{i}": float(value[i]) for i in range(self.dim())}
+
+
+class MuParameter(MPPIParameter):
+    """Noise mean (reference autotune.py:171-195)."""
+
+    @staticmethod
+    def name():
+        return "mu"
+
+    def dim(self):
+        return self._dim
+
+    def get_current_parameter_value(self):
+        return jnp.asarray(self.mppi.noise_mu)
+
+    def ensure_valid_value(self, value):
+        return ensure_tensor(self.d, self.dtype, value)
+
+    def apply_parameter_value(self, value):
+        self.mppi.noise_mu = self.ensure_valid_value(value)
+
+    def get_parameter_value_from_config(self, config):
+        return jnp.asarray(
+            [config[f"{self.name()}{i}"] for i in range(self.dim())], self.dtype
+        )
+
+    def get_config_from_parameter_value(self, value):
+        return {f"{self.name()}{i}": float(value[i]) for i in range(self.dim())}
+
+
+class LambdaParameter(MPPIParameter):
+    """Temperature (reference autotune.py:198-219)."""
+
+    eps = 0.0001
+
+    @staticmethod
+    def name():
+        return "lambda"
+
+    def dim(self):
+        return 1
+
+    def get_current_parameter_value(self):
+        return self.mppi.lambda_
+
+    def ensure_valid_value(self, value):
+        if isinstance(value, (np.ndarray, jnp.ndarray)):
+            value = np.ravel(np.asarray(value))[0]
+        return max(float(value), self.eps)
+
+    def apply_parameter_value(self, value):
+        self.mppi.lambda_ = self.ensure_valid_value(value)
+
+
+class HorizonParameter(MPPIParameter):
+    """Planning horizon; changes shapes and re-specializes the solver
+    (reference autotune.py:222-241)."""
+
+    @staticmethod
+    def name():
+        return "horizon"
+
+    def dim(self):
+        return 1
+
+    def get_current_parameter_value(self):
+        return self.mppi.T
+
+    def ensure_valid_value(self, value):
+        if isinstance(value, (np.ndarray, jnp.ndarray)):
+            value = np.ravel(np.asarray(value))[0]
+        return max(round(float(value)), 1)
+
+    def apply_parameter_value(self, value):
+        self.mppi.change_horizon(self.ensure_valid_value(value))
+
+
+# ---------------------------------------------------------------------------
+# Autotune core (reference autotune.py:244-342)
+# ---------------------------------------------------------------------------
+
+
+class Autotune:
+    """Tune selected hyperparameters by minimizing a user evaluation function.
+
+    See ``examples/auto_tune_parameters.py`` for an example ``evaluate_fn``.
+    """
+
+    eps = 0.0001
+
+    def __init__(
+        self,
+        params_to_tune: typing.Sequence[TunableParameter],
+        evaluate_fn: typing.Callable[[], EvaluationResult],
+        reload_state_fn: typing.Callable[[], dict] = None,
+        optimizer=None,
+    ):
+        self.evaluate_fn = evaluate_fn
+        self.reload_state_fn = reload_state_fn
+
+        self.params = params_to_tune
+        self.optim = optimizer if optimizer is not None else CMAESOpt()
+        self.optim.tuner = self
+        self.results = []
+
+        self.attach_parameters()
+        self.optim.setup_optimization()
+
+    def optimize_step(self) -> EvaluationResult:
+        res = self.optim.optimize_step()
+        return self.log_current_result(res)
+
+    def optimize_all(self, iterations) -> EvaluationResult:
+        res = self.optim.optimize_all(iterations)
+        return self.log_current_result(res)
+
+    def get_best_result(self) -> EvaluationResult:
+        return min(self.results, key=lambda res: float(jnp.mean(res.costs)))
+
+    def log_current_result(self, res: EvaluationResult):
+        iteration = len(self.results)
+        kv = self.get_parameter_values(self.params)
+        res = res._replace(iteration=iteration, params=dict(kv))
+        logger.info("i:%d cost: %f params:%s", iteration, float(jnp.mean(res.costs)), kv)
+        self.results.append(res)
+        return res
+
+    def get_parameter_values(self, params_to_tune):
+        return {p.name(): p.get_current_parameter_value() for p in params_to_tune}
+
+    def flatten_params(self):
+        x = []
+        kv = self.get_parameter_values(self.params)
+        for _, v in kv.items():
+            if isinstance(v, (np.ndarray, jnp.ndarray)):
+                x.append(np.asarray(v, dtype=np.float64).reshape(-1))
+            else:
+                x.append([float(v)])
+        return np.concatenate(x)
+
+    def unflatten_params(self, x, apply=True):
+        param_values = {}
+        i = 0
+        for p in self.params:
+            raw_value = x[i : i + p.dim()]
+            param_values[p.name()] = p.ensure_valid_value(raw_value)
+            i += p.dim()
+        if apply:
+            self.apply_parameters(param_values)
+        return param_values
+
+    def apply_parameters(self, param_values):
+        for p in self.params:
+            p.apply_parameter_value(param_values[p.name()])
+
+    def attach_parameters(self):
+        """Reattach parameters after state reload (e.g. worker processes,
+        reference autotune.py:329-338)."""
+        if self.reload_state_fn is not None:
+            state = self.reload_state_fn()
+            for p in self.params:
+                p.attach_to_state(state)
+
+    def config_to_params(self, config):
+        """Configs are scalar-per-name dictionaries (reference autotune.py:340-342)."""
+        return {p.name(): p.get_parameter_value_from_config(config) for p in self.params}

@@ -391,9 +391,11 @@ class MPPI:
         elif horizon > U.shape[0]:
             pad = jnp.broadcast_to(self._params.u_init, (horizon - U.shape[0], self.nu))
             U = jnp.concatenate([U, pad], axis=0)
-        self.T = horizon
-        self._build_config()
-        self._build_step_fns()
+        if horizon != self.T:
+            # only re-specialize when shapes actually change (jit cache stays warm)
+            self.T = horizon
+            self._build_config()
+            self._build_step_fns()
         self._state = self._state._replace(U=U)
 
     def reset(self):
@@ -562,9 +564,10 @@ class SMPPI(MPPI):
             seq = jnp.concatenate(
                 [seq, jnp.broadcast_to(seq[-1], (extend, self.nu))], axis=0
             )
-        self.T = horizon
-        self._build_config()
-        self._build_step_fns()
+        if horizon != self.T:
+            self.T = horizon
+            self._build_config()
+            self._build_step_fns()
         self._state = self._state._replace(U=U, action_sequence=seq)
 
     def reset(self):

@@ -1,0 +1,216 @@
+"""Autotuning layer tests.
+
+Covers the reference autotune surface (SURVEY.md §2.2): parameter
+flatten/unflatten/apply, CMA-ES local search, global search spaces, and the
+quality-diversity archive — all with the native (dependency-free) optimizers.
+"""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from pytorch_mppi_tpu import MPPI, autotune, autotune_global, autotune_qd
+from pytorch_mppi_tpu.autotune import CMAES
+from pytorch_mppi_tpu.models import Toy2DEnvironment
+
+DTYPE = jnp.float64
+SEED = 1
+
+
+def _make_problem(sigma0=(5.0, 5.0), horizon=10, num_samples=128):
+    env = Toy2DEnvironment(terminal_scale=10.0, dtype=DTYPE)
+    mppi = MPPI(
+        env.dynamics, env.running_cost, 2,
+        noise_sigma=jnp.diag(jnp.array(sigma0, DTYPE)),
+        num_samples=num_samples, horizon=horizon,
+        terminal_state_cost=env.terminal_cost,
+        u_max=jnp.array([2.0, 2.0], DTYPE), lambda_=1.0, seed=SEED,
+    )
+    nominal = mppi.U
+    num_refinement_steps = 5
+    num_trajectories = 2
+
+    def evaluate():
+        costs, rollouts = [], []
+        for _ in range(num_trajectories):
+            mppi.U = nominal[: mppi.T] if nominal.shape[0] >= mppi.T else nominal
+            mppi.change_horizon(mppi.T)
+            for _ in range(num_refinement_steps):
+                mppi.command(env.start, shift_nominal_trajectory=False)
+            rollout = mppi.get_rollouts(env.start)[0]
+            c = 0.0
+            for t in range(len(rollout) - 1):
+                c = c + env.running_cost(rollout[t], mppi.U[t])
+            c = c + env.terminal_cost(rollout, mppi.U)
+            rollouts.append(rollout)
+            costs.append(c)
+        return autotune.EvaluationResult(jnp.stack(costs), jnp.stack(rollouts))
+
+    return env, mppi, evaluate
+
+
+class TestCMAES:
+    def test_minimizes_sphere(self):
+        """Native CMA-ES sanity: converge on a shifted sphere function."""
+        target = np.array([1.5, -2.0, 0.5])
+        es = CMAES(x0=np.zeros(3), sigma0=0.5, popsize=12, seed=0)
+        for _ in range(60):
+            xs = es.ask()
+            fs = [float(((x - target) ** 2).sum()) for x in xs]
+            es.tell(xs, fs)
+        assert es.best.f < 1e-4
+        np.testing.assert_allclose(es.best.x, target, atol=0.05)
+
+
+class TestParameters:
+    def test_sigma_apply_changes_solve(self):
+        _, mppi, _ = _make_problem()
+        p = autotune.SigmaParameter(mppi)
+        state = jnp.array([-3.0, -2.0], DTYPE)
+        a1 = mppi.command(state, shift_nominal_trajectory=False)
+        p.apply_parameter_value(jnp.array([0.01, 0.01], DTYPE))
+        np.testing.assert_allclose(
+            np.asarray(jnp.diag(mppi.noise_sigma)), [0.01, 0.01]
+        )
+        a2 = mppi.command(state, shift_nominal_trajectory=False)
+        assert not np.allclose(np.asarray(a1), np.asarray(a2))
+
+    def test_sigma_eps_clamp(self):
+        _, mppi, _ = _make_problem()
+        p = autotune.SigmaParameter(mppi)
+        v = p.ensure_valid_value(jnp.array([-1.0, 0.5], DTYPE))
+        assert float(v[0]) == pytest.approx(p.eps)
+        assert float(v[1]) == pytest.approx(0.5)
+
+    def test_lambda_apply(self):
+        _, mppi, _ = _make_problem()
+        p = autotune.LambdaParameter(mppi)
+        p.apply_parameter_value(np.array([3.0]))
+        assert mppi.lambda_ == pytest.approx(3.0)
+        assert p.ensure_valid_value(-5.0) == pytest.approx(p.eps)
+
+    def test_horizon_apply_respecializes(self):
+        _, mppi, _ = _make_problem(horizon=10)
+        p = autotune.HorizonParameter(mppi)
+        p.apply_parameter_value(np.array([7.3]))
+        assert mppi.T == 7
+        assert mppi.U.shape[0] == 7
+        a = mppi.command(jnp.array([-3.0, -2.0], DTYPE))
+        assert a.shape == (2,)
+
+    def test_flatten_unflatten_roundtrip(self):
+        _, mppi, evaluate = _make_problem()
+        tuner = autotune.Autotune(
+            [autotune.SigmaParameter(mppi), autotune.LambdaParameter(mppi)],
+            evaluate_fn=evaluate, optimizer=autotune.CMAESOpt(seed=SEED),
+        )
+        x = tuner.flatten_params()
+        assert x.shape == (3,)  # sigma(2) + lambda(1)
+        np.testing.assert_allclose(x, [5.0, 5.0, 1.0])
+        vals = tuner.unflatten_params(np.array([2.0, 3.0, 0.5]))
+        np.testing.assert_allclose(np.asarray(vals["sigma"]), [2.0, 3.0])
+        assert vals["lambda"] == pytest.approx(0.5)
+        np.testing.assert_allclose(tuner.flatten_params(), [2.0, 3.0, 0.5])
+
+
+class TestCMAESOpt:
+    def test_tuning_improves_cost(self):
+        """CMA-ES tuning from a deliberately bad sigma should improve the cost
+        (reference auto_tune_parameters.py main() flow)."""
+        _, mppi, evaluate = _make_problem(sigma0=(10.0, 10.0))
+        initial = float(jnp.mean(evaluate().costs))
+        tuner = autotune.Autotune(
+            [autotune.SigmaParameter(mppi)], evaluate_fn=evaluate,
+            optimizer=autotune.CMAESOpt(sigma=1.0, population=5, seed=SEED),
+        )
+        for _ in range(4):
+            tuner.optimize_step()
+        best = tuner.get_best_result()
+        assert float(jnp.mean(best.costs)) <= initial * 1.05
+        assert best.params["sigma"].shape == (2,)
+        assert len(tuner.results) == 4
+
+    def test_get_best_result_is_min(self):
+        _, mppi, evaluate = _make_problem()
+        tuner = autotune.Autotune(
+            [autotune.LambdaParameter(mppi)], evaluate_fn=evaluate,
+            optimizer=autotune.CMAESOpt(sigma=0.5, population=4, seed=SEED),
+        )
+        tuner.optimize_all(3)
+        best = tuner.get_best_result()
+        assert float(jnp.mean(best.costs)) == min(
+            float(jnp.mean(r.costs)) for r in tuner.results
+        )
+
+
+class TestGlobal:
+    def test_search_space_and_linearization(self):
+        _, mppi, evaluate = _make_problem()
+        params = [
+            autotune_global.SigmaGlobalParameter(mppi),
+            autotune_global.LambdaGlobalParameter(mppi),
+            autotune_global.HorizonGlobalParameter(mppi),
+        ]
+        tuner = autotune_global.AutotuneGlobal(
+            params, evaluate_fn=evaluate,
+            optimizer=autotune_global.GlobalSearchOpt(batch_size=2, seed=SEED),
+        )
+        space = tuner.search_space()
+        assert set(space.keys()) == {"sigma0", "sigma1", "lambda", "horizon"}
+        lin = tuner.linearized_search_space()
+        lo, hi = lin["sigma0"]
+        assert lo == pytest.approx(np.log10(1e-4))
+        assert hi == pytest.approx(np.log10(1e2))
+        init = tuner.initial_value()
+        assert init["sigma0"] == pytest.approx(5.0)
+        v = tuner.linearize_params(tuner.get_parameter_values(params))
+        assert v.shape == (4,)
+        assert v[0] == pytest.approx(np.log10(5.0))
+
+    def test_global_search_improves_or_matches(self):
+        _, mppi, evaluate = _make_problem(sigma0=(20.0, 20.0))
+        initial = float(jnp.mean(evaluate().costs))
+        params = [autotune_global.SigmaGlobalParameter(mppi)]
+        tuner = autotune_global.AutotuneGlobal(
+            params, evaluate_fn=evaluate,
+            optimizer=autotune_global.GlobalSearchOpt(batch_size=6, seed=SEED),
+        )
+        tuner.optimize_all(2)
+        best = tuner.get_best_result()
+        assert float(jnp.mean(best.costs)) <= initial * 1.05
+
+    def test_ray_optimizer_raises_without_ray(self):
+        _, mppi, evaluate = _make_problem()
+        params = [autotune_global.SigmaGlobalParameter(mppi)]
+        with pytest.raises((ImportError, RuntimeError)):
+            autotune_global.AutotuneGlobal(
+                params, evaluate_fn=evaluate,
+                optimizer=autotune_global.RayOptimizer(),
+            )
+
+
+class TestQD:
+    def test_archive_basics(self):
+        arch = autotune_qd.GridArchive(dims=[4, 4], ranges=[(0, 1), (0, 1)])
+        imp = arch.add(np.array([1.0]), objective=-5.0, measures=[0.1, 0.1])
+        assert np.isfinite(imp)
+        assert len(arch) == 1
+        # worse solution in same bin rejected
+        assert arch.add(np.array([2.0]), -9.0, [0.1, 0.1]) == -np.inf
+        # better solution replaces
+        assert arch.add(np.array([3.0]), -1.0, [0.1, 0.1]) == pytest.approx(4.0)
+        assert arch.best_elite.objective == pytest.approx(-1.0)
+
+    def test_cmame_finds_diverse_params(self):
+        _, mppi, evaluate = _make_problem()
+        params = [autotune_global.SigmaGlobalParameter(mppi)]
+        tuner = autotune_global.AutotuneGlobal(
+            params, evaluate_fn=evaluate,
+            optimizer=autotune_qd.CMAMEOpt(population=4, sigma=1.0, bins=8, seed=SEED),
+        )
+        tuner.optimize_all(3)
+        assert len(tuner.optim.archive) >= 2
+        diverse = tuner.optim.get_diverse_top_parameters(3)
+        assert 1 <= len(diverse) <= 3
+        for p in diverse:
+            assert "sigma" in p
