@@ -1,0 +1,126 @@
+"""Flagship benchmark: MPC solves/s per chip at K=10,000 samples, T=30 horizon.
+
+Mirrors the reference benchmark harness problem (``/root/reference/tests/
+benchmark_mppi.py:31-51``: 2D linear dynamics + quadratic cost) at the north-star
+config from BASELINE.json (K=10k, T=30).  Each "solve" is one full MPPI command:
+shift, noise sampling, K x T rollout, costs, softmax weighting, nominal update —
+chained **sequentially in closed loop** (solve -> apply action through dynamics ->
+next solve), so there is no parallel-across-solves cheating; batching S solves into
+one dispatch only amortizes the host->device round-trip, which on this setup is a
+~30 ms relay RTT that would otherwise swamp sub-millisecond device compute.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is against the reference PyTorch implementation measured on THIS
+machine's CPU at the same config (K=10k, T=30): 22.6 solves/s
+(median of 30 solves, torch 2.x eager, measured 2026-08-16 in this container).
+"""
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from pytorch_mppi_tpu.config import MPPIConfig, MPPIParams, MPPIState
+from pytorch_mppi_tpu.ops import solve as S
+
+REFERENCE_SOLVES_PER_S = 22.6  # torch-cpu, K=10k, T=30, same toy problem (see header)
+
+K = 10_000
+T = 30
+NX = NU = 2
+SOLVES_PER_DISPATCH = 50
+REPEATS = 10
+DTYPE = jnp.float32
+
+
+def main():
+    dev = jax.devices()[0]
+    print(f"# device: {dev} ({dev.platform})", file=sys.stderr)
+
+    B = jnp.array([[1.0, 0.0], [0.0, -1.0]], DTYPE)
+    goal = jnp.array([2.0, 2.0], DTYPE)
+
+    def dynamics(state, action):
+        return state + action @ B.T
+
+    def running_cost(state, action):
+        dx = goal - state
+        return (dx**2).sum(axis=-1)
+
+    config = MPPIConfig(nx=NX, nu=NU, K=K, T=T, dtype=DTYPE)
+    fns = S.make_mppi_step(config, dynamics, running_cost, jit=False)
+
+    params = MPPIParams(
+        noise_mu=jnp.zeros(NU, DTYPE),
+        noise_sigma=jnp.eye(NU, dtype=DTYPE),
+        lambda_=jnp.asarray(1.0, DTYPE),
+        u_min=jnp.full((NU,), -jnp.inf, DTYPE),
+        u_max=jnp.full((NU,), jnp.inf, DTYPE),
+        u_init=jnp.zeros(NU, DTYPE),
+    )
+
+    @jax.jit
+    def closed_loop(params, ctrl_state, x0):
+        """S full MPC command steps in closed loop, one device dispatch."""
+
+        def body(carry, _):
+            ctrl_state, x = carry
+            ctrl_state, action, _ = fns.step(params, ctrl_state, x, None)
+            x = dynamics(x[None], action[None])[0]
+            return (ctrl_state, x), action
+
+        (ctrl_state, x), actions = lax.scan(
+            body, (ctrl_state, x0), None, length=SOLVES_PER_DISPATCH
+        )
+        return ctrl_state, x, actions
+
+    key = jax.random.PRNGKey(42)
+    k_u, k_s = jax.random.split(key)
+    U0 = S.sample_noise(k_u, (T,), params, DTYPE)
+    ctrl_state = MPPIState(U=U0, key=k_s)
+    x0 = jnp.array([-3.0, -2.0], DTYPE)
+
+    # compile + warmup
+    t0 = time.perf_counter()
+    out = closed_loop(params, ctrl_state, x0)
+    jax.block_until_ready(out)
+    print(f"# compile+first-run: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
+
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        out = closed_loop(params, ctrl_state, x0)
+        jax.block_until_ready(out)
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    median = times[len(times) // 2]
+    per_solve = median / SOLVES_PER_DISPATCH
+    solves_per_s = 1.0 / per_solve
+
+    # sanity: the closed loop must actually control (reach the goal region)
+    final_x = out[1]
+    final_dist = float(jnp.linalg.norm(final_x - goal))
+    print(
+        f"# per-solve {per_solve*1e3:.3f} ms | median dispatch {median*1e3:.1f} ms "
+        f"| final dist {final_dist:.3f}",
+        file=sys.stderr,
+    )
+    if not (final_dist < 2.0):
+        print("# WARNING: closed loop did not reach goal region", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "MPC solves/s per chip (K=10k, T=30)",
+                "value": round(solves_per_s, 2),
+                "unit": "solves/s",
+                "vs_baseline": round(solves_per_s / REFERENCE_SOLVES_PER_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
