@@ -50,7 +50,6 @@ def main():
         return (dx**2).sum(axis=-1)
 
     config = MPPIConfig(nx=NX, nu=NU, K=K, T=T, dtype=DTYPE)
-    fns = S.make_mppi_step(config, dynamics, running_cost, jit=False)
 
     params = MPPIParams(
         noise_mu=jnp.zeros(NU, DTYPE),
@@ -61,20 +60,27 @@ def main():
         u_init=jnp.zeros(NU, DTYPE),
     )
 
-    @jax.jit
-    def closed_loop(params, ctrl_state, x0):
-        """S full MPC command steps in closed loop, one device dispatch."""
-
-        def body(carry, _):
-            ctrl_state, x = carry
-            ctrl_state, action, _ = fns.step(params, ctrl_state, x, None)
-            x = dynamics(x[None], action[None])[0]
-            return (ctrl_state, x), action
-
-        (ctrl_state, x), actions = lax.scan(
-            body, (ctrl_state, x0), None, length=SOLVES_PER_DISPATCH
+    def build_closed_loop(use_pallas):
+        fns = S.make_mppi_step(
+            config, dynamics, running_cost, jit=False, use_pallas=use_pallas
         )
-        return ctrl_state, x, actions
+
+        @jax.jit
+        def closed_loop(params, ctrl_state, x0):
+            """S full MPC command steps in closed loop, one device dispatch."""
+
+            def body(carry, _):
+                ctrl_state, x = carry
+                ctrl_state, action, _ = fns.step(params, ctrl_state, x, None)
+                x = dynamics(x[None], action[None])[0]
+                return (ctrl_state, x), action
+
+            (ctrl_state, x), actions = lax.scan(
+                body, (ctrl_state, x0), None, length=SOLVES_PER_DISPATCH
+            )
+            return ctrl_state, x, actions
+
+        return closed_loop
 
     key = jax.random.PRNGKey(42)
     k_u, k_s = jax.random.split(key)
@@ -82,33 +88,41 @@ def main():
     ctrl_state = MPPIState(U=U0, key=k_s)
     x0 = jnp.array([-3.0, -2.0], DTYPE)
 
-    # compile + warmup
-    t0 = time.perf_counter()
-    out = closed_loop(params, ctrl_state, x0)
-    jax.block_until_ready(out)
-    print(f"# compile+first-run: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
-
-    times = []
-    for _ in range(REPEATS):
+    results = {}
+    variants = [("xla", False)]
+    if dev.platform != "cpu":
+        variants.append(("pallas", True))
+    for name, use_pallas in variants:
+        closed_loop = build_closed_loop(use_pallas)
         t0 = time.perf_counter()
         out = closed_loop(params, ctrl_state, x0)
         jax.block_until_ready(out)
-        times.append(time.perf_counter() - t0)
-    times.sort()
-    median = times[len(times) // 2]
-    per_solve = median / SOLVES_PER_DISPATCH
-    solves_per_s = 1.0 / per_solve
+        print(f"# [{name}] compile+first-run: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
-    # sanity: the closed loop must actually control (reach the goal region)
-    final_x = out[1]
-    final_dist = float(jnp.linalg.norm(final_x - goal))
-    print(
-        f"# per-solve {per_solve*1e3:.3f} ms | median dispatch {median*1e3:.1f} ms "
-        f"| final dist {final_dist:.3f}",
-        file=sys.stderr,
-    )
-    if not (final_dist < 2.0):
-        print("# WARNING: closed loop did not reach goal region", file=sys.stderr)
+        times = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            out = closed_loop(params, ctrl_state, x0)
+            jax.block_until_ready(out)
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        median = times[len(times) // 2]
+        per_solve = median / SOLVES_PER_DISPATCH
+
+        final_dist = float(jnp.linalg.norm(out[1] - goal))
+        print(
+            f"# [{name}] per-solve {per_solve*1e3:.3f} ms | median dispatch "
+            f"{median*1e3:.1f} ms | final dist {final_dist:.3f}",
+            file=sys.stderr,
+        )
+        if not (final_dist < 2.0):
+            print(f"# WARNING: [{name}] closed loop did not reach goal region",
+                  file=sys.stderr)
+            continue
+        results[name] = per_solve
+
+    per_solve = min(results.values())
+    solves_per_s = 1.0 / per_solve
 
     print(
         json.dumps(

@@ -176,9 +176,11 @@ class MPPI:
         key=None,
         mesh=None,
         sample_axis: str = "k",
+        use_pallas: bool = False,
     ):
         self.mesh = mesh
         self.sample_axis = sample_axis
+        self.use_pallas = use_pallas
         # learned-model weights: a traced pytree, swappable with zero recompilation
         self.dynamics_params = dynamics_params
         self.d = _resolve_device(device)
@@ -295,6 +297,7 @@ class MPPI:
             specific_dynamics=specific_dyn,
             mesh=self.mesh,
             sample_axis=self.sample_axis,
+            use_pallas=self.use_pallas,
         )
 
     def _initial_state(self, U0):

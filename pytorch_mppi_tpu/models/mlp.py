@@ -47,14 +47,33 @@ def make_residual_dynamics(
     nu: int,
     u_clip=None,
     angle_wrap_dims: Sequence[int] = (),
+    angle_encode_dims: Sequence[int] = (),
 ):
-    """Build a parameterized residual-dynamics fn: next = state + MLP([state, u]).
+    """Build a parameterized residual-dynamics fn: next = state + MLP(features).
 
     Mirrors the reference's learned pendulum dynamics (pendulum_approximate.py:55-67):
     optional action clipping and angle normalization of selected state dims.
+    With ``angle_encode_dims``, those angular dims are fed to the network as
+    (sin, cos) pairs — the "continuous" representation of the reference's
+    pendulum_approximate_continuous.py:60-74 (network input grows by one feature
+    per encoded dim: size nx + len(angle_encode_dims) + nu).
+
     Signature: (params, state (B, nx), action (B, nu)) -> (B, nx); pass as
     ``MPPI(dynamics=fn, dynamics_params=params)``.
     """
+
+    def features(state, u):
+        if not angle_encode_dims:
+            return jnp.concatenate((state, u), axis=1)
+        cols = []
+        for d in range(state.shape[1]):
+            if d in angle_encode_dims:
+                cols.append(jnp.sin(state[:, d : d + 1]))
+                cols.append(jnp.cos(state[:, d : d + 1]))
+            else:
+                cols.append(state[:, d : d + 1])
+        cols.append(u)
+        return jnp.concatenate(cols, axis=1)
 
     def dynamics(params, state, action):
         u = action[:, :nu]
@@ -67,8 +86,7 @@ def make_residual_dynamics(
         for d in angle_wrap_dims:
             wrapped = ((state[:, d] + math.pi) % (2 * math.pi)) - math.pi
             state = state.at[:, d].set(wrapped)
-        xu = jnp.concatenate((state, u), axis=1)
-        residual = mlp_apply(params, xu)
+        residual = mlp_apply(params, features(state, u))
         next_state = state + residual
         for d in angle_wrap_dims:
             wrapped = ((next_state[:, d] + math.pi) % (2 * math.pi)) - math.pi
@@ -83,21 +101,37 @@ def make_train_step(
     optimizer=None,
     nx: int = 2,
     angle_diff_dims: Sequence[int] = (),
+    angle_encode_dims: Sequence[int] = (),
     mesh=None,
     data_axis: str = "data",
 ):
     """Jitted Adam train step for the residual model on (state, action, next_state).
 
     Default loss mirrors the reference training target (pendulum_approximate.py:
-    residual regression with angular difference on wrapped dims).  With ``mesh``,
-    the batch shards over ``data_axis`` and XLA inserts the gradient psum — the
-    data-parallel recipe with no hand-written collectives.
+    residual regression with angular difference on wrapped dims;
+    ``angle_encode_dims`` must match the dynamics' (sin, cos) encoding,
+    pendulum_approximate_continuous.py:68-74).  With ``mesh``, the batch shards
+    over ``data_axis`` and XLA inserts the gradient psum — the data-parallel
+    recipe with no hand-written collectives.
     """
     optimizer = optimizer or optax.adam(1e-3)
 
+    def encode(state, action):
+        if not angle_encode_dims:
+            return jnp.concatenate((state, action), axis=1)
+        cols = []
+        for d in range(state.shape[1]):
+            if d in angle_encode_dims:
+                cols.append(jnp.sin(state[:, d : d + 1]))
+                cols.append(jnp.cos(state[:, d : d + 1]))
+            else:
+                cols.append(state[:, d : d + 1])
+        cols.append(action)
+        return jnp.concatenate(cols, axis=1)
+
     def default_loss(params, batch):
         state, action, next_state = batch
-        xu = jnp.concatenate((state, action), axis=1)
+        xu = encode(state, action)
         pred_residual = mlp_apply(params, xu)
         target = next_state - state
         for d in angle_diff_dims:

@@ -304,6 +304,7 @@ def make_mppi_step(
     jit: bool = True,
     mesh=None,
     sample_axis: str = "k",
+    use_pallas: bool = False,
 ) -> StepFns:
     """Build the jitted MPPI solve for one static configuration.
 
@@ -315,11 +316,29 @@ def make_mppi_step(
     collectives the weighting needs (min, sum, weighted-noise psum) over ICI.
     Thanks to partitionable threefry the results are bit-identical to the
     single-device solve.
+
+    With ``use_pallas`` (and an eligible config — M=1, no terminal cost/sampler,
+    deterministic f32, unsharded), the rollout+cost runs as one fused Pallas
+    kernel and the weighting+update as a streaming flash-softmax kernel.
     """
     dyn = wrap_dynamics(config, dynamics)
     cost = wrap_cost(config, running_cost)
     dtype = config.dtype
     cset = make_constrainer(mesh)
+
+    # null-action/specific *sampling* only edits perturbed actions before the
+    # kernel and does not affect eligibility; the per-step specific_dynamics
+    # hook and terminal-cost storage do.
+    fused_rollout = None
+    if use_pallas and mesh is None:
+        from . import pallas_rollout as PR
+
+        if PR.pallas_eligible(
+            config,
+            has_terminal=terminal_state_cost is not None,
+            has_specific=specific_dynamics is not None,
+        ):
+            fused_rollout = PR.make_fused_rollout(config, dyn, cost)
 
     def _solve(params: MPPIParams, state: MPPIState, x0, info, shift: bool, dyn_params=None):
         U = state.U
@@ -344,17 +363,38 @@ def make_mppi_step(
             noise, sigma_inv, params.lambda_, config.noise_abs_cost
         )
 
-        rollout_cost, states, actions = rollout_costs(
-            config, dyn, cost, terminal_state_cost, specific_dynamics,
-            params, x0, perturbed, k_roll, dyn_params=dyn_params,
-        )
+        if fused_rollout is not None:
+            x0_K = x0 if x0.ndim == 2 else jnp.broadcast_to(
+                x0[None, :], (config.K, x0.shape[-1])
+            )
+            rollout_cost = fused_rollout(
+                x0_K, perturbed * jnp.asarray(config.u_scale, dtype)
+            )
+            states = actions = None
+        else:
+            rollout_cost, states, actions = rollout_costs(
+                config, dyn, cost, terminal_state_cost, specific_dynamics,
+                params, x0, perturbed, k_roll, dyn_params=dyn_params,
+            )
         # action perturbation cost: sum(U * action_cost) over (T, nu) (mppi.py:414-416)
         perturbation_cost = jnp.sum(U[None] * action_cost, axis=(1, 2))
         cost_total = cset(rollout_cost + perturbation_cost, sample_axis)
 
-        cost_total_non_zero, omega = compute_weighting(cost_total, params.lambda_)
-        # weighted noise reduction == (K,)·(K, T·nu) matmul on the MXU (mppi.py:268-270)
-        perturbations = jnp.einsum("k,ktn->tn", omega, noise)
+        if fused_rollout is not None:
+            from . import pallas_rollout as PR
+
+            noise_flat = noise.reshape(config.K, config.T * config.nu)
+            pert_flat, m, s = PR.fused_weighted_update(
+                cost_total, noise_flat, params.lambda_
+            )
+            perturbations = (pert_flat / s).reshape(config.T, config.nu)
+            cost_total_non_zero, omega = PR.weighting_from_stats(
+                cost_total, params.lambda_, m, s
+            )
+        else:
+            cost_total_non_zero, omega = compute_weighting(cost_total, params.lambda_)
+            # weighted noise reduction == (K,)·(K, T·nu) matmul on the MXU (mppi.py:268-270)
+            perturbations = jnp.einsum("k,ktn->tn", omega, noise)
         U_new = U + perturbations
 
         artifacts = Artifacts(

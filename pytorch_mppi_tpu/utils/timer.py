@@ -1,0 +1,70 @@
+"""Profiling and timing utilities.
+
+The reference only logs per-command wall-clock at debug level (mppi.py:882-887)
+and hand-rolls warmup+trimmed-mean timing in its benchmark harness
+(tests/benchmark_mppi.py:84-145).  This module provides the TPU-native versions:
+device-synchronized timing (``block_until_ready`` replaces
+``torch.cuda.synchronize``) and ``jax.profiler`` trace capture.
+"""
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable
+
+import jax
+
+
+def benchmark_command(ctrl, state, num_warmup: int = 3, num_iters: int = 20):
+    """Benchmark ``ctrl.command(state)``, returning stats in seconds — the
+    reference harness protocol (benchmark_mppi.py:84-113) with device sync."""
+    for _ in range(num_warmup):
+        jax.block_until_ready(ctrl.command(state, shift_nominal_trajectory=False))
+
+    times = []
+    for _ in range(num_iters):
+        ctrl.reset()
+        t0 = time.perf_counter()
+        jax.block_until_ready(ctrl.command(state))
+        times.append(time.perf_counter() - t0)
+
+    times.sort()
+    trim = max(1, len(times) // 10)
+    trimmed = times[trim:-trim] if len(times) > 2 * trim else times
+    return {
+        "mean_s": sum(trimmed) / len(trimmed),
+        "median_s": times[len(times) // 2],
+        "min_s": times[0],
+        "max_s": times[-1],
+        "p99_s": times[min(len(times) - 1, int(len(times) * 0.99))],
+        "num_iters": num_iters,
+    }
+
+
+def benchmark_fn(fn: Callable, *args, num_warmup: int = 3, num_iters: int = 20):
+    """Benchmark an arbitrary jitted function with block_until_ready."""
+    for _ in range(num_warmup):
+        jax.block_until_ready(fn(*args))
+    times = []
+    for _ in range(num_iters):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(*args))
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return {
+        "median_s": times[len(times) // 2],
+        "min_s": times[0],
+        "max_s": times[-1],
+        "num_iters": num_iters,
+    }
+
+
+@contextlib.contextmanager
+def trace(log_dir: str = "/tmp/jax-trace"):
+    """Capture a ``jax.profiler`` trace of the enclosed block (view in
+    TensorBoard / Perfetto).  SURVEY.md §5.1's TPU-native upgrade."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield log_dir
+    finally:
+        jax.profiler.stop_trace()
