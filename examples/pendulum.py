@@ -28,7 +28,19 @@ if __name__ == "__main__":
     ACTION_LOW, ACTION_HIGH = -2.0, 2.0
 
     noise_sigma = jnp.asarray(10.0, jnp.float32)
-    env = PendulumEnv(downward_start=True)
+
+    # use gymnasium's Pendulum-v1 when available (the reference's env,
+    # tests/pendulum.py:68-72), else the built-in dependency-free env
+    try:
+        import gymnasium as gym
+        import numpy as _np
+
+        env = gym.make("Pendulum-v1").unwrapped
+        env.reset()
+        env.state = _np.array([_np.pi, 1.0])  # downward start
+        print("using gymnasium Pendulum-v1")
+    except ImportError:
+        env = PendulumEnv(downward_start=True)
 
     ctrl = MPPI(
         pendulum_dynamics, pendulum_running_cost, nx=2, noise_sigma=noise_sigma,

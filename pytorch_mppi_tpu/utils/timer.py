@@ -13,19 +13,31 @@ import time
 from typing import Callable
 
 import jax
+import numpy as np
+
+
+def _sync(out):
+    """Force completion: block_until_ready PLUS a host fetch of one small leaf.
+    On some remote backends (e.g. relay-attached TPUs) block_until_ready does not
+    actually synchronize; a materializing host transfer always does."""
+    out = jax.block_until_ready(out)
+    leaves = jax.tree_util.tree_leaves(out)
+    if leaves:
+        np.asarray(jax.numpy.ravel(leaves[0])[:1])
+    return out
 
 
 def benchmark_command(ctrl, state, num_warmup: int = 3, num_iters: int = 20):
     """Benchmark ``ctrl.command(state)``, returning stats in seconds — the
     reference harness protocol (benchmark_mppi.py:84-113) with device sync."""
     for _ in range(num_warmup):
-        jax.block_until_ready(ctrl.command(state, shift_nominal_trajectory=False))
+        _sync(ctrl.command(state, shift_nominal_trajectory=False))
 
     times = []
     for _ in range(num_iters):
         ctrl.reset()
         t0 = time.perf_counter()
-        jax.block_until_ready(ctrl.command(state))
+        _sync(ctrl.command(state))
         times.append(time.perf_counter() - t0)
 
     times.sort()
@@ -42,13 +54,13 @@ def benchmark_command(ctrl, state, num_warmup: int = 3, num_iters: int = 20):
 
 
 def benchmark_fn(fn: Callable, *args, num_warmup: int = 3, num_iters: int = 20):
-    """Benchmark an arbitrary jitted function with block_until_ready."""
+    """Benchmark an arbitrary jitted function with forced completion."""
     for _ in range(num_warmup):
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
     times = []
     for _ in range(num_iters):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
         times.append(time.perf_counter() - t0)
     times.sort()
     return {

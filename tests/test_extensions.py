@@ -1,0 +1,158 @@
+"""Tests for TPU-native extensions beyond the reference surface:
+stochastic dynamics with explicit PRNG keys, alternate PRNG implementations,
+per-step specific_dynamics hooks, and traced dynamics params."""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from pytorch_mppi_tpu import MPPI, SpecificActionSampler
+
+DTYPE = jnp.float64
+SEED = 42
+
+B = jnp.array([[1.0, 0.0], [0.0, -1.0]], dtype=DTYPE)
+GOAL = jnp.array([2.0, 2.0], dtype=DTYPE)
+
+
+def linear_dynamics(state, action):
+    return state + action @ B.T
+
+
+def quadratic_cost(state, action):
+    return ((GOAL - state) ** 2).sum(axis=-1)
+
+
+class TestStochasticDynamics:
+    def test_m_gt_1_with_keys(self):
+        """stochastic_dynamics=True passes a per-step key; with M>1 the M
+        rollouts see different noise draws (reference rollout_samples semantics,
+        mppi.py:334-373, made explicit-key in JAX)."""
+
+        def noisy_dynamics(state, action, key):
+            noise = 0.05 * jax.random.normal(key, state.shape, DTYPE)
+            return state + action @ B.T + noise
+
+        ctrl = MPPI(noisy_dynamics, quadratic_cost, 2, jnp.eye(2, dtype=DTYPE),
+                    num_samples=64, horizon=8, lambda_=1.0, seed=SEED,
+                    stochastic_dynamics=True, rollout_samples=4,
+                    rollout_var_cost=0.1, terminal_state_cost=None)
+        state = jnp.array([-1.0, -1.0], dtype=DTYPE)
+        a = ctrl.command(state)
+        assert a.shape == (2,)
+        assert jnp.isfinite(a).all()
+        # M>1 stores rollouts; the M axis must differ (different noise draws)
+        assert ctrl.states.shape[0] == 4
+        assert not jnp.allclose(ctrl.states[0], ctrl.states[1])
+
+    def test_stochastic_step_dependent(self):
+        def noisy_step_dynamics(state, action, t, key):
+            noise = 0.01 * jax.random.normal(key, state.shape, DTYPE)
+            return state + action @ B.T + noise
+
+        def cost_step(state, action, t):
+            return quadratic_cost(state, action)
+
+        ctrl = MPPI(noisy_step_dynamics, cost_step, 2, jnp.eye(2, dtype=DTYPE),
+                    num_samples=32, horizon=5, lambda_=1.0, seed=SEED,
+                    stochastic_dynamics=True, step_dependent_dynamics=True)
+        a = ctrl.command(jnp.array([0.0, 0.0], dtype=DTYPE))
+        assert jnp.isfinite(a).all()
+
+    def test_get_rollouts_stochastic(self):
+        def noisy_dynamics(state, action, key):
+            return state + action @ B.T + 0.01 * jax.random.normal(key, state.shape, DTYPE)
+
+        ctrl = MPPI(noisy_dynamics, quadratic_cost, 2, jnp.eye(2, dtype=DTYPE),
+                    num_samples=32, horizon=5, lambda_=1.0, seed=SEED,
+                    stochastic_dynamics=True)
+        ctrl.command(jnp.array([0.0, 0.0], dtype=DTYPE))
+        r = ctrl.get_rollouts(jnp.array([0.0, 0.0], dtype=DTYPE), num_rollouts=3)
+        assert r.shape == (3, 5, 2)
+
+
+class TestPrngImpl:
+    def test_rbg_controller(self):
+        ctrl = MPPI(linear_dynamics, quadratic_cost, 2, jnp.eye(2, dtype=DTYPE),
+                    num_samples=128, horizon=8, lambda_=1.0, seed=SEED,
+                    prng_impl="rbg")
+        state = jnp.array([-3.0, -2.0], dtype=DTYPE)
+        for _ in range(10):
+            a = ctrl.command(state)
+            state = linear_dynamics(state[None], a[None])[0]
+        assert float(jnp.linalg.norm(state - GOAL)) < 3.0
+
+    def test_rbg_deterministic(self):
+        state = jnp.array([0.0, 0.0], dtype=DTYPE)
+        actions = []
+        for _ in range(2):
+            ctrl = MPPI(linear_dynamics, quadratic_cost, 2, jnp.eye(2, dtype=DTYPE),
+                        num_samples=64, horizon=5, lambda_=1.0, seed=SEED,
+                        prng_impl="rbg")
+            actions.append(np.asarray(ctrl.command(state)))
+        np.testing.assert_array_equal(actions[0], actions[1])
+
+
+class TestSpecificDynamicsHook:
+    def test_specific_dynamics_applied_each_step(self):
+        """The per-step specific_dynamics hook post-processes dynamics outputs
+        (reference mppi.py:25-27, 315-317, 358-360)."""
+
+        class ClampSampler(SpecificActionSampler):
+            num_trajectories = 1
+
+            def sample_trajectories(self, state, info):
+                return jnp.zeros((1, 8, 2), dtype=DTYPE)
+
+            def specific_dynamics(self, next_state, state, action, t):
+                # clamp all rollout states into a box
+                return jnp.clip(next_state, -1.5, 1.5)
+
+        sampler = ClampSampler()
+        ctrl = MPPI(linear_dynamics, quadratic_cost, 2, jnp.eye(2, dtype=DTYPE),
+                    num_samples=64, horizon=8, lambda_=1.0, seed=SEED,
+                    specific_action_sampler=sampler,
+                    terminal_state_cost=lambda s, a: jnp.zeros(s.shape[1], DTYPE))
+        ctrl.command(jnp.array([0.0, 0.0], dtype=DTYPE))
+        # every stored rollout state respects the hook's clamp
+        assert float(jnp.max(jnp.abs(ctrl.states))) <= 1.5 + 1e-9
+
+    def test_info_passed_to_sampler(self):
+        captured = {}
+
+        class InfoSampler(SpecificActionSampler):
+            num_trajectories = 1
+
+            def sample_trajectories(self, state, info):
+                captured["info"] = info
+                return jnp.broadcast_to(info["bias"], (1, 5, 2))
+
+        sampler = InfoSampler()
+        ctrl = MPPI(linear_dynamics, quadratic_cost, 2, jnp.eye(2, dtype=DTYPE),
+                    num_samples=32, horizon=5, lambda_=1.0, seed=SEED,
+                    specific_action_sampler=sampler)
+        info = {"bias": jnp.full((2,), 0.25, DTYPE)}
+        ctrl.command(jnp.array([0.0, 0.0], dtype=DTYPE), info=info)
+        assert "info" in captured
+        assert jnp.allclose(ctrl.perturbed_action[0], 0.25)
+
+
+class TestDynamicsParams:
+    def test_params_are_traced_not_baked(self):
+        """Swapping dynamics_params must change the result WITHOUT rebuilding
+        (weights are traced args, not trace-time constants)."""
+
+        def dyn(p, state, action):
+            return state + action @ B.T * p["gain"]
+
+        ctrl = MPPI(dyn, quadratic_cost, 2, jnp.eye(2, dtype=DTYPE),
+                    num_samples=64, horizon=5, lambda_=1.0, seed=SEED,
+                    dynamics_params={"gain": jnp.asarray(1.0, DTYPE)})
+        state = jnp.array([-2.0, -2.0], dtype=DTYPE)
+        a1 = ctrl.command(state, shift_nominal_trajectory=False)
+        fns_before = ctrl._fns
+        ctrl.dynamics_params = {"gain": jnp.asarray(-1.0, DTYPE)}
+        a2 = ctrl.command(state, shift_nominal_trajectory=False)
+        assert ctrl._fns is fns_before  # no rebuild
+        assert not jnp.allclose(a1, a2)
