@@ -445,6 +445,10 @@ class MPPI:
         self.states = artifacts.states
         self.actions = artifacts.actions
 
+    def _slice_control(self, t):
+        """Slice of a flattened control vector for step t (mppi.py:422-423)."""
+        return slice(t * self.nu, (t + 1) * self.nu)
+
     def get_rollouts(self, state, num_rollouts: int = 1, U=None):
         """Roll the nominal action sequence from given states (mppi.py:425-448).
 

@@ -492,6 +492,20 @@ class TestKMPPI:
         expected_offdiag = jnp.exp(jnp.asarray(-0.5, dtype=DTYPE))
         assert allclose(K[0, 1], expected_offdiag, atol=1e-6)
 
+    def test_bspline_kernel(self, noise_sigma):
+        """B-spline smoothing via kernel swap (reference README.md:102-104)."""
+        from pytorch_mppi_tpu import BSplineKernel
+
+        ctrl = self._make(noise_sigma, num_samples=200,
+                          kernel=BSplineKernel(scale=3.0), num_support_pts=5)
+        state = jnp.array([-3.0, -2.0], dtype=DTYPE)
+        for _ in range(10):
+            action = ctrl.command(state)
+            assert jnp.isfinite(action).all()
+            state = linear_dynamics(state[None], action[None])[0]
+        # makes progress toward the goal
+        assert float(jnp.linalg.norm(state - GOAL)) < 4.0
+
     def test_multiple_commands_stable(self, noise_sigma):
         """15-step NaN/Inf stability (test_mppi.py:572-581)."""
         ctrl = self._make(noise_sigma, num_samples=200)
