@@ -33,15 +33,28 @@ if __name__ == "__main__":
                        kernel=RBFKernel(sigma=2.0), **common),
     }
 
+    try:
+        fig = env.start_visualization()
+        colors = {"MPPI": "tab:orange", "SMPPI": "tab:purple", "KMPPI": "tab:cyan"}
+    except ImportError:
+        fig = None
+
     print(f"{'method':<8s} {'accum cost':>12s} {'final dist':>12s} {'smoothness':>12s}")
     for name, ctrl in controllers.items():
         state = jnp.asarray(env.start)
-        total_cost, actions = 0.0, []
+        total_cost, actions, states = 0.0, [], [state]
         for _ in range(40):
             a = ctrl.command(state)
             actions.append(a)
             total_cost += float(env.running_cost(state[None], a[None])[0])
             state = env.dynamics(state[None], a[None])[0]
+            states.append(state)
         final_dist = float(jnp.linalg.norm(state - env.goal))
         smooth = float(jnp.abs(jnp.diff(jnp.stack(actions), axis=0)).sum())
         print(f"{name:<8s} {total_cost:>12.2f} {final_dist:>12.4f} {smooth:>12.3f}")
+        if fig is not None:
+            env.draw_trajectory(jnp.stack(states), color=colors[name], label=name)
+
+    if fig is not None:
+        env.ax.legend()
+        print("saved:", env.save_figure("smooth_mppi_trajectories.png"))
