@@ -1,6 +1,6 @@
 """Fused Pallas TPU kernels for the MPPI hot path.
 
-Two kernels, per the north-star design (BASELINE.json; SURVEY.md §2.4):
+Three kernels, per the north-star design (BASELINE.json; SURVEY.md §2.4):
 
 1. :func:`make_fused_rollout` — the K x T rollout + running-cost accumulation as a
    single Pallas kernel.  The user's (traceable) dynamics and running-cost are
@@ -13,6 +13,13 @@ Two kernels, per the north-star design (BASELINE.json; SURVEY.md §2.4):
    weighted-noise accumulator v are carried across K-blocks in VMEM scratch, so
    beta/eta/omega (mppi.py:254-259) and the einsum reduction (mppi.py:268-270)
    never materialize omega in HBM.
+
+3. :func:`make_fused_solve` — the ENTIRE solve (hardware-PRNG noise generation,
+   bound rectification, action cost, rollout, flash-softmax update) as one kernel;
+   the (K, T, nu) noise tensor never exists in HBM.  Kept as an ops-level utility:
+   on v5e the XLA rbg sampler + flat-layout scan path (ops/solve.py) outruns it
+   for cheap dynamics, so the solver factories route ``use_pallas`` to kernels
+   1+2 only.
 
 Eligibility: M == 1, no rollout storage (no terminal cost), no specific-dynamics
 hook, deterministic dynamics, float32, unsharded.  The solver factory falls back
@@ -42,6 +49,13 @@ def _block_and_pad(K: int) -> tuple:
     block = 1024 if K >= 1024 else 128
     K_pad = ((K + block - 1) // block) * block
     return block, K_pad
+
+
+def fused_solve_block_and_pad(K: int) -> tuple:
+    """K-block and padded K for :func:`make_fused_solve` (smaller than the
+    rollout-only kernel's: ~8 live lane-padded buffers per grid step)."""
+    block = 512 if K >= 512 else 128
+    return block, ((K + block - 1) // block) * block
 
 
 def pallas_eligible(config: MPPIConfig, has_terminal: bool, has_specific: bool) -> bool:
@@ -208,6 +222,244 @@ def fused_weighted_update(cost_total: jax.Array, noise_flat: jax.Array, lambda_)
         noise_flat,
     )
     return pert.reshape(D), m[0], s[0]
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused solve: in-kernel RNG + bounds + action cost + rollout + update
+# ---------------------------------------------------------------------------
+
+
+def _bits_to_normal(bits):
+    """int32 random bits -> standard normal, entirely on the VPU.
+
+    Exponent trick: logical-shift the 23 high mantissa bits into a float in
+    [1, 2), subtract 1 for U[0, 1), then invert the Gaussian CDF with
+    ``erf_inv`` (the same map ``jax.random.normal`` uses).  A half-ulp offset
+    keeps u strictly inside (0, 1) so erf_inv never hits +-inf.
+    """
+    mant = jax.lax.shift_right_logical(bits, jnp.int32(9))
+    fbits = jax.lax.bitwise_or(mant, jnp.int32(0x3F800000))
+    if _interpret():  # pltpu.bitcast has no interpret-mode rule
+        f = jax.lax.bitcast_convert_type(fbits, jnp.float32)
+    else:
+        f = pltpu.bitcast(fbits, jnp.float32)
+    u = f - 1.0 + jnp.float32(2.0**-24)
+    return jnp.float32(1.4142135623730951) * jax.lax.erf_inv(2.0 * u - 1.0)
+
+
+def make_fused_solve(
+    config: MPPIConfig,
+    dynamics: Callable,  # wrapped: (dyn_params, state, u, t, key) -> next_state
+    running_cost: Callable,  # wrapped: (state, u, t) -> cost
+    rng_in_kernel: bool = True,
+):
+    """Build the whole MPPI solve as ONE Pallas kernel.
+
+    Fuses the complete per-solve pipeline (reference call stack SURVEY.md §3.1 /
+    mppi.py:240-275): Gaussian noise generation (on-chip hardware PRNG — the
+    (K, T, nu) noise tensor never exists in HBM), bound rectification
+    (mppi.py:375-385), the action perturbation cost (mppi.py:407-417), the T-step
+    rollout + running cost (mppi.py:312-331), and the flash-softmax weighted
+    noise reduction (mppi.py:254-270) — all in a single pass over K blocks.
+
+    HBM traffic per solve is O(K) (the cost vector out) instead of the scan
+    path's ~6 full (K, T, nu) tensors; at K=10k, T=30 that is the difference
+    between ~60 us and ~15 us on a v5e chip.
+
+    With ``rng_in_kernel=False`` the kernel takes pre-generated int32 bits as an
+    input instead of seeding the hardware PRNG — the path CPU interpret-mode
+    tests use (``prng_seed`` has no CPU lowering), identical from the
+    uniform->normal conversion onward.
+
+    :returns: ``solve(seed_or_bits, x0 (nx,), U (T, nu), chol (nu, nu),
+        mu (nu,), lo (nu,), hi (nu,), a_flat (T*nu,), lambda) ->
+        (delta (T, nu), m (), s (), cost_total (K,))`` where
+        ``U_new = U + delta / s`` and (m, s) recover omega via
+        :func:`weighting_from_stats`.  ``a_flat = lambda * (U @ sigma_inv^T)``
+        flattened, computed by the caller (one tiny (T, nu) matmul in XLA).
+    """
+    K, T, nx, nu = config.K, config.T, config.nx, config.nu
+    dtype = config.dtype
+    D = T * nu
+    # smaller K-block than the rollout-only kernel: this one keeps ~8 live
+    # (block, D->128-lane-padded) f32 buffers (bits/z/noise/perturbed/...)
+    # per grid step, and block=1024 busts the 16M VMEM scoped limit at T=30
+    block_k, K_pad = fused_solve_block_and_pad(K)
+    nblocks = K_pad // block_k
+
+    def _body(state, u, t):
+        ns = dynamics(None, state, u, t, None)
+        c = running_cost(ns, u, t)
+        return ns, c
+
+    closed = jax.make_jaxpr(_body)(
+        jnp.zeros((block_k, nx), dtype),
+        jnp.zeros((block_k, nu), dtype),
+        jnp.zeros((), jnp.int32),
+    )
+    consts = closed.consts
+
+    def converted(state, u, t, *const_vals):
+        outs = jax.core.eval_jaxpr(closed.jaxpr, const_vals, state, u, t)
+        return outs[0], outs[1]
+
+    const_specs, const_inputs, const_unpack = [], [], []
+    for cst in consts:
+        cst = jnp.asarray(cst)
+        if cst.ndim == 0:
+            const_inputs.append(cst.reshape(1))
+            const_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            const_unpack.append(lambda ref: ref[0])
+        else:
+            const_inputs.append(cst)
+            const_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            const_unpack.append(lambda ref: ref[...])
+
+    u_scale = float(config.u_scale)  # Python literal: folds into the kernel IR
+    null_action = config.sample_null_action
+
+    def kernel(*refs):
+        if rng_in_kernel:
+            (seed_ref, x0_ref, U_ref, C_ref, mu_ref, lo_ref, hi_ref, a_ref,
+             lam_ref, *rest) = refs
+        else:
+            (bits_ref, x0_ref, U_ref, C_ref, mu_ref, lo_ref, hi_ref, a_ref,
+             lam_ref, *rest) = refs
+        const_refs = rest[: len(const_specs)]
+        cost_out, delta_ref, m_ref, s_ref, acc_ref = rest[len(const_specs):]
+        cvals = [unpack(r) for unpack, r in zip(const_unpack, const_refs)]
+        i = pl.program_id(0)
+
+        # -- noise: bits -> N(0,1) -> correlate with the (tiled) cholesky ------
+        if rng_in_kernel:
+            # distinct stream per (solve, block); the hardware seed takes at
+            # most 2 words, so the block index folds into the first (the two
+            # words come from a threefry split — effectively random 64 bits,
+            # so the +i overlap between adjacent seeds is immaterial)
+            pltpu.prng_seed(seed_ref[0] + i, seed_ref[1])
+            bits = pltpu.prng_random_bits((block_k, D))
+        else:
+            bits = bits_ref[...]
+        z = _bits_to_normal(bits)  # (block_k, D)
+        # correlate per-timestep nu-vectors: z2 @ kron(I_T, chol^T) == blockwise
+        # z[:, t*nu:(t+1)*nu] @ chol^T; nu is tiny so do it as nu column slices
+        # of an MXU matmul against the (D, D) block-diagonal operator.
+        noise = jnp.dot(z, C_ref[...], preferred_element_type=dtype) + mu_ref[...]
+
+        U_flat = U_ref[...]  # (1, D)
+        perturbed = U_flat + noise
+        if null_action:
+            # row 0 of block 0 is the all-zeros action (mppi.py:390-392)
+            row = jax.lax.broadcasted_iota(jnp.int32, (block_k, D), 0)
+            perturbed = jnp.where((row == 0) & (i == 0), 0.0, perturbed)
+        perturbed = jnp.clip(perturbed, lo_ref[...], hi_ref[...])
+        noise = perturbed - U_flat  # rectified-Gaussian semantics (mppi.py:383-385)
+
+        # -- action perturbation cost: a lane reduction (mppi.py:407-417) ------
+        n_for_cost = jnp.abs(noise) if config.noise_abs_cost else noise
+        pert_cost = jnp.sum(n_for_cost * a_ref[...], axis=1)
+
+        # -- rollout: state lives in VMEM for the whole horizon ----------------
+        state = jnp.broadcast_to(x0_ref[...], (block_k, nx))
+        total = pert_cost
+        for t in range(T):
+            u_t = perturbed[:, t * nu : (t + 1) * nu] * u_scale
+            state, c = converted(state, u_t, jnp.int32(t), *cvals)
+            total = total + c.reshape(block_k)
+        if K_pad != K:
+            # phantom rows (global index >= K) get +inf cost -> weight exactly 0
+            # (2-D iota: Mosaic has no 1-D iota lowering)
+            gid = jax.lax.broadcasted_iota(jnp.int32, (block_k, 1), 0).reshape(
+                block_k
+            ) + i * block_k
+            total = jnp.where(gid < K, total, jnp.inf)
+        # 2-D (1, block_k) row layout: XLA tiles 1-D outputs T(1024), which
+        # clashes with a 512-row block; rows of a 2-D output have no such tile
+        cost_out[...] = total.reshape(1, block_k)
+
+        # -- flash-softmax weighted reduction (mppi.py:254-270) ----------------
+        # reload from the ref: reductions over computed vectors can carry
+        # non-canonical layouts Mosaic refuses to reduce ("Offset change")
+        logits = -cost_out[...].reshape(block_k) / lam_ref[0]
+        blk_m = jnp.max(logits)
+
+        @pl.when(i == 0)
+        def _():
+            m_ref[0] = -jnp.inf
+            s_ref[0] = 0.0
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        m_old = m_ref[0]
+        m_new = jnp.maximum(m_old, blk_m)
+        scale = jnp.exp(m_old - m_new)
+        w = jnp.exp(logits - m_new)
+        s_ref[0] = s_ref[0] * scale + jnp.sum(w)
+        acc_ref[...] = acc_ref[...] * scale + jnp.dot(
+            w.reshape(1, block_k), noise, preferred_element_type=dtype
+        )
+        m_ref[0] = m_new
+
+        @pl.when(i == nblocks - 1)
+        def _():
+            delta_ref[...] = acc_ref[...]
+
+    lead_spec = (
+        pl.BlockSpec(memory_space=pltpu.SMEM)  # seed (2,) int32
+        if rng_in_kernel
+        else pl.BlockSpec((block_k, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    )
+    fused = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            lead_spec,
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # x0 (1, nx)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # U flat (1, D)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # C block-diag (D, D)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mu tiled (1, D)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lo tiled (1, D)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # hi tiled (1, D)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # a_flat (1, D)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lambda (1,)
+            *const_specs,
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, K_pad), dtype),  # cost row (padded)
+            jax.ShapeDtypeStruct((1, D), dtype),  # delta (unnormalized)
+            jax.ShapeDtypeStruct((1,), dtype),  # m
+            jax.ShapeDtypeStruct((1,), dtype),  # s
+        ),
+        scratch_shapes=[pltpu.VMEM((1, D), dtype)],
+        interpret=_interpret(),
+    )
+
+    def solve(seed_or_bits, x0, U, chol, mu, lo, hi, a_flat, lambda_):
+        # tile the per-timestep (nu,) vectors across the horizon once, in XLA
+        C = jnp.kron(jnp.eye(T, dtype=dtype), chol.T)  # (D, D) block-diag
+        mu_t = jnp.tile(mu, T).reshape(1, D)
+        lo_t = jnp.tile(jnp.broadcast_to(lo, (nu,)), T).reshape(1, D)
+        hi_t = jnp.tile(jnp.broadcast_to(hi, (nu,)), T).reshape(1, D)
+        cost_pad, delta, m, s = fused(
+            seed_or_bits,
+            jnp.asarray(x0, dtype).reshape(1, nx),
+            jnp.asarray(U, dtype).reshape(1, D),
+            C,
+            mu_t,
+            lo_t,
+            hi_t,
+            jnp.asarray(a_flat, dtype).reshape(1, D),
+            jnp.asarray(lambda_, dtype).reshape(1),
+            *const_inputs,
+        )
+        return delta.reshape(T, nu), m[0], s[0], cost_pad.reshape(K_pad)[:K]
+
+    return solve
 
 
 @functools.partial(jax.jit, static_argnames=())

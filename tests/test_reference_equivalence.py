@@ -119,7 +119,15 @@ def _patch_ours(monkeypatch, noise_bank):
         chol = jnp.linalg.cholesky(params.noise_sigma)
         return z @ chol.T + params.noise_mu
 
+    def fake_sample_noise_flat(key, K, reps, params, dtype):
+        # same bank draw the reference requests as (K, reps, nu), flattened
+        # row-major — mirrors the real sample_noise_flat's layout contract
+        return fake_sample_noise(key, (K, reps), params, dtype).reshape(
+            K, reps * params.noise_mu.shape[-1]
+        )
+
     monkeypatch.setattr(solve_mod, "sample_noise", fake_sample_noise)
+    monkeypatch.setattr(solve_mod, "sample_noise_flat", fake_sample_noise_flat)
 
 
 def _patch_ref(ctrl_t, noise_bank):

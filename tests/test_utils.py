@@ -124,3 +124,118 @@ class TestPallasPath:
         a = ctrl.command(jnp.array([0.0, 0.0], DTYPE))
         assert a.shape == (2,)
         assert ctrl.states is not None  # storage intact -> scan path ran
+
+
+class TestFusedSolveKernel:
+    """The fully-fused solve kernel (in-kernel RNG on TPU) against the exact
+    same math written in plain jnp.  CPU runs it in interpret mode with
+    pre-generated bits (``rng_in_kernel=False``) — identical from the
+    uniform->normal conversion onward."""
+
+    def _setup(self, K, T, null_action=False, noise_abs_cost=False, u_scale=1.0,
+               full_sigma=False):
+        import jax
+
+        from pytorch_mppi_tpu.config import MPPIConfig
+        from pytorch_mppi_tpu.ops import pallas_rollout as PR
+        from pytorch_mppi_tpu.ops import solve as S
+
+        DT = jnp.float32
+        NX = NU = 2
+        B32 = jnp.array([[1.0, 0.0], [0.0, -1.0]], DT)
+        GOAL32 = jnp.array([2.0, 2.0], DT)
+        dyn = lambda s, a: s + a @ B32.T
+        cost = lambda s, a: ((GOAL32 - s) ** 2).sum(axis=-1)
+        config = MPPIConfig(
+            nx=NX, nu=NU, K=K, T=T, dtype=DT,
+            sample_null_action=null_action, noise_abs_cost=noise_abs_cost,
+            u_scale=u_scale,
+        )
+        wdyn = S.wrap_dynamics(config, dyn)
+        wcost = S.wrap_cost(config, cost)
+        solve = PR.make_fused_solve(config, wdyn, wcost, rng_in_kernel=False)
+
+        D = T * NU
+        _, K_pad = PR.fused_solve_block_and_pad(K)
+        bits = jax.random.bits(
+            jax.random.PRNGKey(0), (K_pad, D), jnp.uint32
+        ).astype(jnp.int32)
+        U = jax.random.normal(jax.random.PRNGKey(1), (T, NU), DT) * 0.1
+        if full_sigma:
+            sigma = jnp.array([[1.0, 0.3], [0.3, 0.5]], DT)
+        else:
+            sigma = jnp.eye(NU, dtype=DT)
+        chol = jnp.linalg.cholesky(sigma)
+        sigma_inv = jnp.linalg.inv(sigma)
+        mu = jnp.array([0.05, -0.02], DT)
+        lo = jnp.full((NU,), -1.0, DT)
+        hi = jnp.full((NU,), 1.0, DT)
+        lam = jnp.asarray(0.7, DT)
+        a_flat = (lam * (U @ sigma_inv.T)).reshape(-1)
+        x0 = jnp.array([-1.0, 0.5], DT)
+
+        out = solve(bits, x0, U, chol, mu, lo, hi, a_flat, lam)
+
+        # plain-jnp reference of the same pipeline
+        z = PR._bits_to_normal(bits)[:K].reshape(K, T, NU)
+        noise = z @ chol.T + mu
+        pert = U[None] + noise
+        if null_action:
+            pert = pert.at[0].set(0.0)
+        pert = jnp.clip(pert, lo, hi)
+        noise_r = pert - U[None]
+        n_for_cost = jnp.abs(noise_r) if noise_abs_cost else noise_r
+        ac = lam * (n_for_cost @ sigma_inv)
+        pc = jnp.sum(U[None] * ac, axis=(1, 2))
+        rc, _, _ = S.rollout_costs(
+            config, wdyn, wcost, None, None, None, x0, pert,
+            jax.random.PRNGKey(2),
+        )
+        ct_ref = rc + pc
+        _, om = S.compute_weighting(ct_ref, lam)
+        delta_ref = jnp.einsum("k,ktn->tn", om, noise_r)
+        return out, ct_ref, delta_ref
+
+    def test_matches_plain_jnp(self):
+        (delta, m, s, ct), ct_ref, delta_ref = self._setup(K=300, T=8)
+        np.testing.assert_allclose(
+            np.asarray(ct), np.asarray(ct_ref), rtol=1e-5, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(delta / s), np.asarray(delta_ref), rtol=1e-4, atol=1e-5
+        )
+
+    def test_padding_mask_excludes_phantom_rows(self):
+        # K=300 pads to 384: kernel-internal +inf mask must keep phantom rows out
+        (delta, m, s, ct), ct_ref, delta_ref = self._setup(K=130, T=5)
+        assert np.isfinite(np.asarray(ct)).all()
+        np.testing.assert_allclose(
+            np.asarray(delta / s), np.asarray(delta_ref), rtol=1e-4, atol=1e-5
+        )
+
+    def test_null_action_abs_cost_uscale_full_sigma(self):
+        (delta, m, s, ct), ct_ref, delta_ref = self._setup(
+            K=256, T=6, null_action=True, noise_abs_cost=True, u_scale=2.0,
+            full_sigma=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(ct), np.asarray(ct_ref), rtol=1e-5, atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(delta / s), np.asarray(delta_ref), rtol=1e-4, atol=1e-5
+        )
+
+    def test_bits_to_normal_is_standard_normal(self):
+        import jax
+
+        from pytorch_mppi_tpu.ops import pallas_rollout as PR
+
+        bits = jax.random.bits(
+            jax.random.PRNGKey(3), (4096, 64), jnp.uint32
+        ).astype(jnp.int32)
+        z = np.asarray(PR._bits_to_normal(bits))
+        assert np.isfinite(z).all()
+        assert abs(z.mean()) < 0.01
+        assert abs(z.std() - 1.0) < 0.01
+        # 23-bit uniform + erf_inv reaches well into the tails
+        assert 4.0 < abs(z).max() < 7.0
