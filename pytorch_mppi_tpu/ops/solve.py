@@ -102,13 +102,15 @@ def _key_to_seed(key: jax.Array) -> jax.Array:
 def sample_noise_flat(key: jax.Array, K: int, reps: int, params: MPPIParams, dtype) -> jax.Array:
     """Draw N(mu, Sigma) control noise in flat lane-dense ``(K, reps*nu)`` layout.
 
-    Equivalent to ``sample_noise(key, (K, reps), ...)`` reshaped row-major —
-    bit-identical draws (same key, same element order) — but the whole pipeline
-    stays 2-D: TPU tiles the two minor dims (8, 128), so the 3-D ``(K, reps, nu)``
-    form lane-pads ~64x on every elementwise pass when nu is small.  The
-    per-timestep ``z @ chol^T`` correlation becomes one MXU matmul against the
-    block-diagonal operator ``kron(I_reps, chol^T)`` (the zero blocks are exact,
-    so this too is bitwise equal).
+    Equivalent to ``sample_noise(key, (K, reps), ...)`` reshaped row-major:
+    identical underlying draws (same key, same element order) — but the whole
+    pipeline stays 2-D: TPU tiles the two minor dims (8, 128), so the 3-D
+    ``(K, reps, nu)`` form lane-pads ~64x on every elementwise pass when nu is
+    small.  The per-timestep ``z @ chol^T`` correlation becomes one MXU matmul
+    against the block-diagonal operator ``kron(I_reps, chol^T)``; the zero
+    blocks contribute exactly nothing, so the result is bit-identical for
+    diagonal covariance and within one FMA rounding (dot-product association)
+    for full covariance.
     """
     nu = params.noise_mu.shape[-1]
     chol, _ = _sigma_factors(params.noise_sigma)

@@ -225,6 +225,37 @@ class TestFusedSolveKernel:
             np.asarray(delta / s), np.asarray(delta_ref), rtol=1e-4, atol=1e-5
         )
 
+    def test_sample_noise_flat_matches_3d(self):
+        """The flat lane-dense sampler draws the same underlying normals as the
+        3-D one (same key, row-major order): bit-identical for diagonal
+        covariance (one nonzero product per output), within one FMA rounding
+        for full covariance (different dot-product association)."""
+        import jax
+
+        from pytorch_mppi_tpu.config import MPPIParams
+        from pytorch_mppi_tpu.ops import solve as S
+
+        DT = jnp.float32
+
+        def draw(sigma):
+            params = MPPIParams(
+                noise_mu=jnp.array([0.1, -0.2], DT),
+                noise_sigma=sigma,
+                lambda_=jnp.asarray(1.0, DT),
+                u_min=jnp.full((2,), -jnp.inf, DT),
+                u_max=jnp.full((2,), jnp.inf, DT),
+                u_init=jnp.zeros(2, DT),
+            )
+            key = jax.random.PRNGKey(5)
+            n3 = S.sample_noise(key, (64, 7), params, DT)
+            n2 = S.sample_noise_flat(key, 64, 7, params, DT)
+            return np.asarray(n3).reshape(64, 14), np.asarray(n2)
+
+        n3, n2 = draw(jnp.eye(2, dtype=DT) * 0.5)
+        np.testing.assert_array_equal(n3, n2)
+        n3, n2 = draw(jnp.array([[1.0, 0.3], [0.3, 0.5]], DT))
+        np.testing.assert_allclose(n3, n2, rtol=1e-6, atol=1e-6)
+
     def test_bits_to_normal_is_standard_normal(self):
         import jax
 
