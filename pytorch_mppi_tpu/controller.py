@@ -171,6 +171,7 @@ class MPPI:
         specific_action_sampler: Optional[SpecificActionSampler] = None,
         noise_abs_cost: bool = False,
         stochastic_dynamics: bool = False,
+        antithetic_sampling: bool = False,
         dynamics_params=None,
         seed: Optional[int] = 0,
         key=None,
@@ -216,6 +217,9 @@ class MPPI:
         self.specific_action_sampler = specific_action_sampler
         self.noise_abs_cost = bool(noise_abs_cost)
         self.stochastic_dynamics = bool(stochastic_dynamics)
+        # antithetic variates: K/2 mirrored draws (variance reduction, half the
+        # RNG cost); TPU-native extension, no reference counterpart
+        self.antithetic_sampling = bool(antithetic_sampling)
         self.rollout_var_cost = float(rollout_var_cost)
         self.rollout_var_discount = float(rollout_var_discount)
 
@@ -287,6 +291,7 @@ class MPPI:
             step_dependent_dynamics=self.step_dependency,
             stochastic_dynamics=self.stochastic_dynamics,
             parameterized_dynamics=self.dynamics_params is not None,
+            antithetic=self.antithetic_sampling,
             dtype=self.dtype,
         )
 
@@ -747,6 +752,7 @@ class MPPI_Batched:
         step_dependent_dynamics: bool = False,
         noise_abs_cost: bool = False,
         stochastic_dynamics: bool = False,
+        antithetic_sampling: bool = False,
         dynamics_params=None,
         seed: Optional[int] = 0,
         key=None,
@@ -796,6 +802,7 @@ class MPPI_Batched:
             step_dependent_dynamics=bool(step_dependent_dynamics),
             stochastic_dynamics=bool(stochastic_dynamics),
             parameterized_dynamics=dynamics_params is not None,
+            antithetic=bool(antithetic_sampling),
             dtype=self.dtype,
         )
         self._fns = _solve.make_batched_step(

@@ -99,7 +99,8 @@ def _key_to_seed(key: jax.Array) -> jax.Array:
     return jax.lax.bitcast_convert_type(kd, jnp.int32)
 
 
-def sample_noise_flat(key: jax.Array, K: int, reps: int, params: MPPIParams, dtype) -> jax.Array:
+def sample_noise_flat(key: jax.Array, K: int, reps: int, params: MPPIParams, dtype,
+                      antithetic: bool = False) -> jax.Array:
     """Draw N(mu, Sigma) control noise in flat lane-dense ``(K, reps*nu)`` layout.
 
     Equivalent to ``sample_noise(key, (K, reps), ...)`` reshaped row-major:
@@ -114,7 +115,14 @@ def sample_noise_flat(key: jax.Array, K: int, reps: int, params: MPPIParams, dty
     """
     nu = params.noise_mu.shape[-1]
     chol, _ = _sigma_factors(params.noise_sigma)
-    z2 = jax.random.normal(key, (K, reps * nu), dtype)
+    if antithetic:
+        # draw K/2, mirror: marginals stay N(0, I), pairs are perfectly
+        # negatively correlated (variance reduction + half the RNG cost)
+        Kh = (K + 1) // 2
+        z_half = jax.random.normal(key, (Kh, reps * nu), dtype)
+        z2 = jnp.concatenate([z_half, -z_half], axis=0)[:K]
+    else:
+        z2 = jax.random.normal(key, (K, reps * nu), dtype)
     C = jnp.kron(jnp.eye(reps, dtype=dtype), chol.T.astype(dtype))
     return z2 @ C + jnp.tile(params.noise_mu, reps)
 
@@ -389,7 +397,9 @@ def make_mppi_step(
         # K=10k, T=30.  Reshapes to (K, T, nu) below are row-major views, so
         # results are bit-identical to the 3-D formulation.
         _, sigma_inv = _sigma_factors(params.noise_sigma)
-        noise2 = sample_noise_flat(k_noise, K, T, params, dtype)
+        noise2 = sample_noise_flat(
+            k_noise, K, T, params, dtype, antithetic=config.antithetic
+        )
         noise2 = cset(noise2, sample_axis)
         U2 = U.reshape(D)
         perturbed2 = U2[None] + noise2
@@ -541,7 +551,9 @@ def make_smppi_step(
         # flat (K, T·nu) lane-dense layout throughout (see make_mppi_step);
         # noise lives in action-*rate* space (mppi.py:539-552)
         _, sigma_inv = _sigma_factors(base.noise_sigma)
-        noise2 = sample_noise_flat(k_noise, K, T, base, dtype)
+        noise2 = sample_noise_flat(
+            k_noise, K, T, base, dtype, antithetic=config.antithetic
+        )
         noise2 = cset(noise2, sample_axis)
         U2 = U.reshape(D)
         as2 = action_sequence.reshape(D)
@@ -656,7 +668,9 @@ def make_kmppi_step(
         # (K, nsp·nu), the horizon in (K, T·nu).  Noise is sampled only at
         # support points (mppi.py:657-664).
         _, sigma_inv = _sigma_factors(base.noise_sigma)
-        noise_theta2 = sample_noise_flat(k_noise, K, nsp, base, dtype)
+        noise_theta2 = sample_noise_flat(
+            k_noise, K, nsp, base, dtype, antithetic=config.antithetic
+        )
         noise_theta2 = cset(noise_theta2, sample_axis)
         theta2 = theta.reshape(Dp)
         lop = jnp.tile(jnp.broadcast_to(base.u_min, (nu,)).astype(dtype), nsp)
@@ -775,7 +789,9 @@ def make_batched_step(
         # flat (·, T·nu) lane-dense layout (see make_mppi_step); noise is
         # sampled once and shared across envs (mppi.py:837-838)
         _, sigma_inv = _sigma_factors(params.noise_sigma)
-        noise2 = sample_noise_flat(k_noise, K, T, params, dtype)  # (K, D)
+        noise2 = sample_noise_flat(
+            k_noise, K, T, params, dtype, antithetic=config.antithetic
+        )  # (K, D)
         noise2 = cset(noise2, kax)
         U2 = U.reshape(N, D)
         lo2 = jnp.tile(jnp.broadcast_to(params.u_min, (nu,)).astype(dtype), T)

@@ -156,3 +156,51 @@ class TestDynamicsParams:
         a2 = ctrl.command(state, shift_nominal_trajectory=False)
         assert ctrl._fns is fns_before  # no rebuild
         assert not jnp.allclose(a1, a2)
+
+
+class TestAntitheticSampling:
+    """antithetic_sampling=True: K/2 mirrored Gaussian draws (variance
+    reduction + half the RNG cost; TPU-native extension, no reference
+    counterpart)."""
+
+    def test_noise_pairs_mirror(self):
+        ctrl = MPPI(linear_dynamics, quadratic_cost, 2, jnp.eye(2, dtype=DTYPE),
+                    num_samples=64, horizon=5, lambda_=1.0, seed=SEED,
+                    antithetic_sampling=True)
+        ctrl.command(jnp.array([0.0, 0.0], dtype=DTYPE))
+        noise = np.asarray(ctrl.noise)  # (K, T, nu); unbounded, mu=0 -> raw
+        np.testing.assert_allclose(noise[:32], -noise[32:], atol=1e-12)
+
+    def test_mirrored_mean_is_mu(self):
+        mu = jnp.array([0.3, -0.1], dtype=DTYPE)
+        ctrl = MPPI(linear_dynamics, quadratic_cost, 2, jnp.eye(2, dtype=DTYPE),
+                    noise_mu=mu, num_samples=128, horizon=4, lambda_=1.0,
+                    seed=SEED, antithetic_sampling=True)
+        ctrl.command(jnp.array([0.0, 0.0], dtype=DTYPE))
+        # pairs cancel exactly around mu: the sample mean over K IS mu
+        mean = np.asarray(ctrl.noise).mean(axis=0)
+        np.testing.assert_allclose(mean, np.broadcast_to(np.asarray(mu), mean.shape),
+                                   atol=1e-12)
+
+    def test_reaches_goal_and_deterministic(self):
+        def run():
+            ctrl = MPPI(linear_dynamics, quadratic_cost, 2,
+                        jnp.eye(2, dtype=DTYPE), num_samples=200, horizon=10,
+                        lambda_=1.0, seed=SEED, antithetic_sampling=True)
+            state = jnp.array([-2.0, -2.0], dtype=DTYPE)
+            for _ in range(15):
+                a = ctrl.command(state)
+                state = linear_dynamics(state, a)
+            return np.asarray(state)
+
+        s1, s2 = run(), run()
+        np.testing.assert_array_equal(s1, s2)
+        assert np.linalg.norm(s1 - np.asarray(GOAL)) < 1.0
+
+    def test_odd_k(self):
+        ctrl = MPPI(linear_dynamics, quadratic_cost, 2, jnp.eye(2, dtype=DTYPE),
+                    num_samples=33, horizon=4, lambda_=1.0, seed=SEED,
+                    antithetic_sampling=True)
+        a = ctrl.command(jnp.array([0.5, 0.5], dtype=DTYPE))
+        assert a.shape == (2,)
+        assert np.isfinite(np.asarray(ctrl.cost_total)).all()
