@@ -64,6 +64,10 @@ def pallas_eligible(config: MPPIConfig, has_terminal: bool, has_specific: bool) 
         and not has_terminal
         and not has_specific
         and not config.stochastic_dynamics
+        # parameterized dynamics would bake the weight pytree into the kernel
+        # as trace-time constants (stale after retraining) — and the factory
+        # traces with params=None anyway; close over fixed weights instead
+        and not config.parameterized_dynamics
         and config.dtype == jnp.float32
     )
 

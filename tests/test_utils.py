@@ -270,3 +270,22 @@ class TestFusedSolveKernel:
         assert abs(z.std() - 1.0) < 0.01
         # 23-bit uniform + erf_inv reaches well into the tails
         assert 4.0 < abs(z).max() < 7.0
+
+    def test_pallas_ineligible_with_dynamics_params(self):
+        """use_pallas + dynamics_params must fall back to the scan path (the
+        kernel would bake the weight pytree as stale trace-time constants)."""
+        import jax
+
+        from pytorch_mppi_tpu.models import make_residual_dynamics, mlp_init
+
+        dyn = make_residual_dynamics(2, 1, u_clip=(-2, 2))
+        p = mlp_init(jax.random.PRNGKey(0), [3, 16, 16, 2], jnp.float32)
+        ctrl = MPPI(
+            dyn, lambda s, u: (s**2).sum(-1), 2,
+            jnp.eye(1, dtype=jnp.float32) * 5.0,
+            num_samples=128, horizon=5, dynamics_params=p, use_pallas=True,
+            seed=0,
+        )
+        a = ctrl.command(jnp.zeros(2, jnp.float32))
+        assert a.shape == (1,)
+        assert np.isfinite(np.asarray(ctrl.cost_total)).all()
