@@ -71,9 +71,13 @@ def _sigma_factors(noise_sigma: jax.Array):
     diagonal sigma, cholesky == diag(sqrt) and the math reduces exactly to the
     reference's diagonal fast path (mppi.py:131-139, 186-206).
     """
+    out_dtype = noise_sigma.dtype
+    if out_dtype not in (jnp.float32, jnp.float64):
+        # jnp.linalg has no bf16/f16 kernels; nu is tiny so factor in f32
+        noise_sigma = noise_sigma.astype(jnp.float32)
     chol = jnp.linalg.cholesky(noise_sigma)
     sigma_inv = jnp.linalg.inv(noise_sigma)
-    return chol, sigma_inv
+    return chol.astype(out_dtype), sigma_inv.astype(out_dtype)
 
 
 def sample_noise(key: jax.Array, leading_shape, params: MPPIParams, dtype) -> jax.Array:
