@@ -18,7 +18,9 @@ logger = logging.getLogger(__name__)
 
 
 def main():
-    dtype = jnp.float64
+    # f32 explicitly: without jax_enable_x64 JAX would silently downcast f64
+    # anyway, and f32 is the TPU-native precision (reference uses f64 on CPU)
+    dtype = jnp.float32
     env = Toy2DEnvironment(terminal_scale=10.0, dtype=dtype)
 
     mppi = MPPI(
@@ -62,7 +64,7 @@ def main():
         params_to_tune, evaluate_fn=evaluate,
         optimizer=autotune.CMAESOpt(sigma=1.0, population=6, seed=1),
     )
-    for i in range(8):
+    for i in range(5):
         res = tuner.optimize_step()
     best = tuner.get_best_result()
     tuner.apply_parameters(best.params)
@@ -79,7 +81,7 @@ def main():
         params_to_tune, evaluate_fn=evaluate,
         optimizer=autotune_global.GlobalSearchOpt(batch_size=8, seed=1),
     )
-    res = tuner.optimize_all(4)
+    res = tuner.optimize_all(3)
     best = tuner.get_best_result()
     print(f"Global search best cost {float(jnp.mean(best.costs)):.2f}")
 
@@ -88,7 +90,7 @@ def main():
         params_to_tune, evaluate_fn=evaluate,
         optimizer=autotune_qd.CMAMEOpt(population=6, sigma=1.0, bins=10, seed=1),
     )
-    res = tuner.optimize_all(6)
+    res = tuner.optimize_all(4)
     diverse = tuner.optim.get_diverse_top_parameters(4)
     print(f"QD archive size {len(tuner.optim.archive)}; diverse params:")
     for p in diverse:
