@@ -123,6 +123,18 @@ def main():
           file=sys.stderr)
 
     results = {"single": base}
+    if n_dev > 1 and jax.devices()[0].platform == "cpu":
+        # N virtual devices share ONE physical CPU: weak scaling adds N x work
+        # on fixed silicon, so measured "efficiency" trends to 1/N by
+        # construction. These runs validate the sharded program (collectives,
+        # bit-equality), not hardware scaling — only real multi-chip runs
+        # measure efficiency.
+        print("# NOTE: virtual CPU devices — weak-scaling numbers validate the "
+              "sharded program, not hardware efficiency (expected ~1/N).",
+              file=sys.stderr)
+        results["virtual_devices_note"] = (
+            "cpu virtual devices share one socket; efficiency ~1/N expected"
+        )
     if n_dev > 1:
         for d in [2, 4, n_dev]:
             if d > n_dev or d in (x for x in results if isinstance(x, int)):
