@@ -25,6 +25,7 @@ import numpy as np
 from jax import lax
 
 from pytorch_mppi_tpu import KMPPI, MPPI, SMPPI, RBFKernel
+from pytorch_mppi_tpu.utils.timer import chained_median_time, median_host_rtt
 
 DTYPE = jnp.float32
 SEED = 42
@@ -65,18 +66,10 @@ _RTT = None
 
 
 def _host_rtt():
-    """Median tiny-op dispatch+fetch round trip (cached)."""
+    """Median tiny-op dispatch+fetch round trip (cached per process)."""
     global _RTT
     if _RTT is None:
-        x = jnp.zeros((), DTYPE)
-        tiny = jax.jit(lambda z: z + 1)
-        np.asarray(tiny(x))
-        ts = []
-        for _ in range(5):
-            t0 = time.perf_counter()
-            np.asarray(tiny(x))
-            ts.append(time.perf_counter() - t0)
-        _RTT = sorted(ts)[2]
+        _RTT = median_host_rtt()
     return _RTT
 
 
@@ -107,13 +100,10 @@ def benchmark_device_solve(ctrl, dynamics_fn, x0, solves_per_dispatch=500,
         return x
 
     rtt = _host_rtt()
-    np.asarray(chained(params, cstate0, x0))  # compile
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        np.asarray(chained(params, cstate0, x0))
-        times.append(time.perf_counter() - t0)
-    per_solve = max(sorted(times)[len(times) // 2] - rtt, 1e-9) / solves_per_dispatch
+    per_solve = chained_median_time(
+        chained, params, cstate0, x0,
+        iters_per_dispatch=solves_per_dispatch, repeats=repeats, rtt=rtt,
+    )
     return {"median_s": per_solve, "solves_per_dispatch": solves_per_dispatch,
             "host_rtt_s": rtt}
 

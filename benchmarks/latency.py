@@ -98,25 +98,13 @@ def main():
         (cs, x), _ = lax.scan(body, (cs, x), None, length=SPD)
         return x
 
-    @jax.jit
-    def tiny(z):
-        return z + 1
+    from pytorch_mppi_tpu.utils.timer import chained_median_time, median_host_rtt
 
-    np.asarray(tiny(x0))
-    rtts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        np.asarray(tiny(x0))
-        rtts.append(time.perf_counter() - t0)
-    rtt = sorted(rtts)[2]
-
-    np.asarray(chained(params, MPPIState(U=U0, key=k_s), x0))  # compile
-    dev = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        np.asarray(chained(params, MPPIState(U=U0, key=k_s), x0))
-        dev.append(max(time.perf_counter() - t0 - rtt, 1e-9) / SPD)
-    dev_solve = sorted(dev)[len(dev) // 2]
+    rtt = median_host_rtt()
+    dev_solve = chained_median_time(
+        chained, params, MPPIState(U=U0, key=k_s), x0,
+        iters_per_dispatch=SPD, repeats=5, rtt=rtt,
+    )
 
     out = {
         "config": {"K": K, "T": T},

@@ -70,17 +70,9 @@ def measure(N, K, T, steps, mesh=None, env_axis="data", sample_axis=None, repeat
     # honest timing on async backends: end with a host fetch, subtract the
     # median tiny-op RTT (a single sample is too noisy: the relay RTT jitters
     # tens of ms, more than a fast dispatch itself)
-    @jax.jit
-    def tiny(z):
-        return z + 1
+    from pytorch_mppi_tpu.utils.timer import median_host_rtt
 
-    np.asarray(tiny(x[0]))
-    rtts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        np.asarray(tiny(x[0]))
-        rtts.append(time.perf_counter() - t0)
-    rtt = sorted(rtts)[len(rtts) // 2]
+    rtt = median_host_rtt()
 
     np.asarray(loop(params, state, x))  # compile
     # auto-scale dispatches until the timed region dominates the RTT; the

@@ -233,6 +233,17 @@ def fused_weighted_update(cost_total: jax.Array, noise_flat: jax.Array, lambda_)
 # ---------------------------------------------------------------------------
 
 
+def key_to_seed(key):
+    """Derive the (2,) int32 seed :func:`make_fused_solve` (rng_in_kernel=True)
+    takes from a JAX PRNG key (typed or raw uint32)."""
+    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
+        kd = jax.random.key_data(key)
+    else:
+        kd = key
+    kd = kd.reshape(-1)[:2].astype(jnp.uint32)
+    return jax.lax.bitcast_convert_type(kd, jnp.int32)
+
+
 def _bits_to_normal(bits):
     """int32 random bits -> standard normal, entirely on the VPU.
 

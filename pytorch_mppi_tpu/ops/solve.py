@@ -92,19 +92,8 @@ def sample_noise(key: jax.Array, leading_shape, params: MPPIParams, dtype) -> ja
     return z @ chol.T + params.noise_mu
 
 
-def _key_to_seed(key: jax.Array) -> jax.Array:
-    """Derive a (2,) int32 seed from a JAX PRNG key (typed or raw uint32) for
-    the Pallas hardware-PRNG path."""
-    if jnp.issubdtype(key.dtype, jax.dtypes.prng_key):
-        kd = jax.random.key_data(key)
-    else:
-        kd = key
-    kd = kd.reshape(-1)[:2].astype(jnp.uint32)
-    return jax.lax.bitcast_convert_type(kd, jnp.int32)
-
-
 def sample_noise_flat(key: jax.Array, K: int, reps: int, params: MPPIParams, dtype,
-                      antithetic: bool = False) -> jax.Array:
+                      antithetic: bool = False, chol=None) -> jax.Array:
     """Draw N(mu, Sigma) control noise in flat lane-dense ``(K, reps*nu)`` layout.
 
     Equivalent to ``sample_noise(key, (K, reps), ...)`` reshaped row-major:
@@ -118,7 +107,8 @@ def sample_noise_flat(key: jax.Array, K: int, reps: int, params: MPPIParams, dty
     for full covariance.
     """
     nu = params.noise_mu.shape[-1]
-    chol, _ = _sigma_factors(params.noise_sigma)
+    if chol is None:
+        chol, _ = _sigma_factors(params.noise_sigma)
     if antithetic:
         # draw K/2, mirror: marginals stay N(0, I), pairs are perfectly
         # negatively correlated (variance reduction + half the RNG cost)
@@ -138,12 +128,6 @@ def compute_weighting(cost_total: jax.Array, lambda_: jax.Array, axis=-1):
     eta = jnp.sum(cost_total_non_zero, axis=axis, keepdims=True)
     omega = cost_total_non_zero / eta
     return cost_total_non_zero, omega
-
-
-def _action_cost(noise: jax.Array, sigma_inv: jax.Array, lambda_, noise_abs_cost: bool):
-    """lambda * noise @ Sigma^-1, optional |noise| variant (mppi.py:186-199)."""
-    n = jnp.abs(noise) if noise_abs_cost else noise
-    return lambda_ * (n @ sigma_inv)
 
 
 def _bound(action: jax.Array, lo: jax.Array, hi: jax.Array) -> jax.Array:
@@ -400,9 +384,9 @@ def make_mppi_step(
         # rows make noise gen + clamp + action cost ~2.3x faster end-to-end at
         # K=10k, T=30.  Reshapes to (K, T, nu) below are row-major views, so
         # results are bit-identical to the 3-D formulation.
-        _, sigma_inv = _sigma_factors(params.noise_sigma)
+        chol, sigma_inv = _sigma_factors(params.noise_sigma)
         noise2 = sample_noise_flat(
-            k_noise, K, T, params, dtype, antithetic=config.antithetic
+            k_noise, K, T, params, dtype, antithetic=config.antithetic, chol=chol
         )
         noise2 = cset(noise2, sample_axis)
         U2 = U.reshape(D)
@@ -554,9 +538,9 @@ def make_smppi_step(
         x0 = jnp.asarray(x0, dtype)
         # flat (K, T·nu) lane-dense layout throughout (see make_mppi_step);
         # noise lives in action-*rate* space (mppi.py:539-552)
-        _, sigma_inv = _sigma_factors(base.noise_sigma)
+        chol, sigma_inv = _sigma_factors(base.noise_sigma)
         noise2 = sample_noise_flat(
-            k_noise, K, T, base, dtype, antithetic=config.antithetic
+            k_noise, K, T, base, dtype, antithetic=config.antithetic, chol=chol
         )
         noise2 = cset(noise2, sample_axis)
         U2 = U.reshape(D)
@@ -671,9 +655,9 @@ def make_kmppi_step(
         # flat lane-dense layout (see make_mppi_step): control points live in
         # (K, nsp·nu), the horizon in (K, T·nu).  Noise is sampled only at
         # support points (mppi.py:657-664).
-        _, sigma_inv = _sigma_factors(base.noise_sigma)
+        chol, sigma_inv = _sigma_factors(base.noise_sigma)
         noise_theta2 = sample_noise_flat(
-            k_noise, K, nsp, base, dtype, antithetic=config.antithetic
+            k_noise, K, nsp, base, dtype, antithetic=config.antithetic, chol=chol
         )
         noise_theta2 = cset(noise_theta2, sample_axis)
         theta2 = theta.reshape(Dp)
@@ -792,9 +776,9 @@ def make_batched_step(
         x0 = jnp.asarray(x0, dtype)  # (N, nx)
         # flat (·, T·nu) lane-dense layout (see make_mppi_step); noise is
         # sampled once and shared across envs (mppi.py:837-838)
-        _, sigma_inv = _sigma_factors(params.noise_sigma)
+        chol, sigma_inv = _sigma_factors(params.noise_sigma)
         noise2 = sample_noise_flat(
-            k_noise, K, T, params, dtype, antithetic=config.antithetic
+            k_noise, K, T, params, dtype, antithetic=config.antithetic, chol=chol
         )  # (K, D)
         noise2 = cset(noise2, kax)
         U2 = U.reshape(N, D)

@@ -71,6 +71,40 @@ def benchmark_fn(fn: Callable, *args, num_warmup: int = 3, num_iters: int = 20):
     }
 
 
+def median_host_rtt(samples: int = 5):
+    """Median dispatch+fetch round trip of a tiny jitted op — the fixed host
+    overhead the chained-dispatch protocol (docs/DESIGN.md §7) subtracts."""
+    x = jax.numpy.zeros((), jax.numpy.float32)
+    tiny = jax.jit(lambda z: z + 1)
+    np.asarray(tiny(x))  # warm/compile
+    ts = []
+    for _ in range(samples):
+        t0 = time.perf_counter()
+        np.asarray(tiny(x))
+        ts.append(time.perf_counter() - t0)
+    ts.sort()
+    return ts[len(ts) // 2]
+
+
+def chained_median_time(fn: Callable, *args, iters_per_dispatch: int = 1,
+                        repeats: int = 3, rtt=None):
+    """Median per-iteration device time of ``fn(*args)`` whose body already
+    chains ``iters_per_dispatch`` iterations in one jit dispatch.  The timed
+    region ends with a real host fetch; the median tiny-op round trip is
+    subtracted (docs/DESIGN.md §7 — ``block_until_ready`` does not synchronize
+    on relay-attached devices)."""
+    if rtt is None:
+        rtt = median_host_rtt()
+    np.asarray(jax.numpy.ravel(jax.tree_util.tree_leaves(fn(*args))[0])[:1])
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        np.asarray(jax.numpy.ravel(jax.tree_util.tree_leaves(fn(*args))[0])[:1])
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    return max(times[len(times) // 2] - rtt, 1e-9) / iters_per_dispatch
+
+
 @contextlib.contextmanager
 def trace(log_dir: str = "/tmp/jax-trace"):
     """Capture a ``jax.profiler`` trace of the enclosed block (view in

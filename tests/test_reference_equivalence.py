@@ -119,7 +119,8 @@ def _patch_ours(monkeypatch, noise_bank):
         chol = jnp.linalg.cholesky(params.noise_sigma)
         return z @ chol.T + params.noise_mu
 
-    def fake_sample_noise_flat(key, K, reps, params, dtype, antithetic=False):
+    def fake_sample_noise_flat(key, K, reps, params, dtype, antithetic=False,
+                               chol=None):
         # same bank draw the reference requests as (K, reps, nu), flattened
         # row-major — mirrors the real sample_noise_flat's layout contract
         return fake_sample_noise(key, (K, reps), params, dtype).reshape(

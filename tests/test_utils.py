@@ -206,7 +206,8 @@ class TestFusedSolveKernel:
         )
 
     def test_padding_mask_excludes_phantom_rows(self):
-        # K=300 pads to 384: kernel-internal +inf mask must keep phantom rows out
+        # K=130 pads to 256 (block 128): the kernel-internal +inf mask must
+        # keep the 126 phantom rows out of the weighting
         (delta, m, s, ct), ct_ref, delta_ref = self._setup(K=130, T=5)
         assert np.isfinite(np.asarray(ct)).all()
         np.testing.assert_allclose(
@@ -289,3 +290,23 @@ class TestFusedSolveKernel:
         a = ctrl.command(jnp.zeros(2, jnp.float32))
         assert a.shape == (1,)
         assert np.isfinite(np.asarray(ctrl.cost_total)).all()
+
+    def test_key_to_seed(self):
+        """key_to_seed feeds the fused solve's hardware-PRNG path: (2,) int32
+        from typed keys, raw uint32 keys, and rbg keys alike."""
+        import jax
+
+        from pytorch_mppi_tpu.ops import pallas_rollout as PR
+
+        for key in (
+            jax.random.PRNGKey(3),
+            jax.random.key(3),
+            jax.random.key(3, impl="rbg"),
+        ):
+            seed = PR.key_to_seed(key)
+            assert seed.shape == (2,)
+            assert seed.dtype == jnp.int32
+        # distinct keys -> distinct seeds
+        s1 = np.asarray(PR.key_to_seed(jax.random.PRNGKey(1)))
+        s2 = np.asarray(PR.key_to_seed(jax.random.PRNGKey(2)))
+        assert not np.array_equal(s1, s2)
