@@ -99,3 +99,9 @@ def main():
 
 if __name__ == "__main__":
     main()
+# (The population-parallel variant: pass
+#   population_evaluate_fn=autotune.PopulationEvaluator(mppi, env.start,
+#       num_refinement_steps=10, num_trajectories=5)
+# to Autotune and the CMA-ES population evaluates in ONE vmapped device
+# dispatch instead of one controller run per candidate. Sigma/Mu/Lambda only —
+# Horizon changes shapes and cannot be vmapped.)

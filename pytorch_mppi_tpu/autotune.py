@@ -21,9 +21,11 @@ import abc
 import logging
 import typing
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .config import MPPIState
 from .controller import MPPI
 from .utils.batch import ensure_tensor
 
@@ -193,15 +195,26 @@ class CMAESOpt(Optimizer):
 
     def optimize_step(self):
         params = self.optim.ask()
-        cost_per_param = []
-        for param in params:
-            self.tuner.unflatten_params(param)
-            res = self.tuner.evaluate_fn()
-            cost_per_param.append(float(jnp.mean(res.costs)))
-        self.optim.tell(params, np.array(cost_per_param))
+        pop_fn = getattr(self.tuner, "population_evaluate_fn", None)
+        if pop_fn is not None:
+            # whole population in one vmapped device dispatch
+            dicts = [self.tuner.unflatten_params(p, apply=False) for p in params]
+            res = pop_fn(dicts)
+            cost_per_param = np.asarray(res.costs, dtype=np.float64)
+        else:
+            cost_per_param = []
+            for param in params:
+                self.tuner.unflatten_params(param)
+                res = self.tuner.evaluate_fn()
+                cost_per_param.append(float(jnp.mean(res.costs)))
+            cost_per_param = np.array(cost_per_param)
+        self.optim.tell(params, cost_per_param)
 
         # re-evaluate the best (reference autotune.py:81-84)
-        self.tuner.unflatten_params(self.optim.best.x)
+        best_values = self.tuner.unflatten_params(self.optim.best.x)
+        if pop_fn is not None:
+            res = pop_fn([best_values])
+            return res._replace(costs=res.costs.reshape(-1))
         return self.tuner.evaluate_fn()
 
 
@@ -371,6 +384,120 @@ class HorizonParameter(MPPIParameter):
 
 
 # ---------------------------------------------------------------------------
+# Population-parallel evaluation (TPU-native; no reference counterpart)
+# ---------------------------------------------------------------------------
+
+
+class PopulationEvaluator:
+    """Evaluate a whole population of (sigma, mu, lambda) candidates in ONE
+    jitted, vmapped device dispatch.
+
+    This is the TPU-native replacement for the reference's Ray-parallel trials
+    (autotune_global.py:114-157): instead of scheduling each candidate onto a
+    worker process, the candidates become a leading batch axis of the *traced*
+    hyperparameter pytree — a CMA-ES population evaluates in one device
+    dispatch with zero recompilation.
+
+    Supports the array-valued MPPIParams leaves (:class:`SigmaParameter`
+    diagonal, :class:`MuParameter`, :class:`LambdaParameter`).
+    :class:`HorizonParameter` changes shapes and cannot be vmapped — keep it
+    out of the population or wrap an outer per-horizon loop.
+
+    Protocol (mirrors ``examples/auto_tune_parameters.py`` / reference
+    auto_tune_parameters.py:256-276): every candidate starts from the SAME
+    nominal trajectory (the controller's U at construction time), runs
+    ``num_refinement_steps`` no-shift solves from ``start_state`` with
+    ``num_trajectories`` independent noise streams, rolls out each refined
+    nominal sequence, and scores it with ``rollout_cost_fn(states (T, nx),
+    U (T, nu)) -> scalar`` (default: the controller's running cost summed over
+    the rollout).
+
+    Pass the instance as ``Autotune(..., population_evaluate_fn=evaluator)``;
+    population-aware optimizers (:class:`CMAESOpt`) then evaluate each ask()
+    batch in one dispatch.
+    """
+
+    def __init__(self, mppi: MPPI, start_state, num_refinement_steps: int = 10,
+                 num_trajectories: int = 1, rollout_cost_fn=None, seed: int = 0):
+        self.mppi = mppi
+        self.dtype = mppi.dtype
+        self.start = jnp.asarray(start_state, mppi.dtype)
+        self.R = int(num_refinement_steps)
+        self.M = int(num_trajectories)
+        self._U_nom = mppi.U  # shared fair starting trajectory
+        self._key = jax.random.PRNGKey(seed)
+        if rollout_cost_fn is None:
+            rc = mppi.running_cost
+
+            def rollout_cost_fn(states, U):
+                return rc(states, U).sum()
+
+        fns = mppi._fns
+        dyn_params = mppi.dynamics_params
+        U_nom, start, R = self._U_nom, self.start, self.R
+
+        def one_traj(params, key):
+            state = MPPIState(U=U_nom, key=key)
+
+            def body(s, _):
+                s2, _, _ = fns.step_no_shift(params, s, start, None, dyn_params)
+                return s2, None
+
+            state, _ = jax.lax.scan(body, state, None, length=R)
+            rollout = fns.get_rollouts(params, start, state.U,
+                                       dyn_params=dyn_params)[0]
+            return rollout_cost_fn(rollout, state.U), rollout
+
+        def eval_candidate(params, keys):  # keys: (M,)
+            costs, rollouts = jax.vmap(one_traj, in_axes=(None, 0))(params, keys)
+            return jnp.mean(costs), rollouts[0]
+
+        # candidates on axis 0 of the params pytree AND of the key batch
+        self._eval_pop = jax.jit(jax.vmap(eval_candidate, in_axes=(0, 0)))
+
+    def _batch_params(self, param_dicts):
+        base = self.mppi._params
+        P = len(param_dicts)
+        dt = self.dtype
+
+        def stack(field, fallback):
+            return jnp.stack([
+                jnp.asarray(d[field], dt) if field in d else fallback
+                for d in param_dicts
+            ])
+
+        sigma = jnp.stack([
+            jnp.diag(jnp.asarray(d["sigma"], dt)) if "sigma" in d
+            else base.noise_sigma
+            for d in param_dicts
+        ])
+        mu = stack("mu", base.noise_mu)
+        lam = jnp.stack([
+            jnp.asarray(d["lambda"], dt).reshape(()) if "lambda" in d
+            else base.lambda_
+            for d in param_dicts
+        ])
+        bcast = lambda leaf: jnp.broadcast_to(leaf, (P, *leaf.shape))
+        return base._replace(
+            noise_sigma=sigma, noise_mu=mu, lambda_=lam,
+            u_min=bcast(base.u_min), u_max=bcast(base.u_max),
+            u_init=bcast(base.u_init),
+        )
+
+    def __call__(self, param_dicts) -> EvaluationResult:
+        P = len(param_dicts)
+        self._key, sub = jax.random.split(self._key)
+        # (P, M) keys: split per candidate, then per trajectory (typed keys
+        # cannot be reshaped, so split twice instead of once + reshape)
+        keys = jax.vmap(lambda k: jax.random.split(k, self.M))(
+            jax.random.split(sub, P)
+        )
+        batched = self._batch_params(param_dicts)
+        costs, rollouts = self._eval_pop(batched, keys)
+        return EvaluationResult(costs, rollouts)
+
+
+# ---------------------------------------------------------------------------
 # Autotune core (reference autotune.py:244-342)
 # ---------------------------------------------------------------------------
 
@@ -389,8 +516,13 @@ class Autotune:
         evaluate_fn: typing.Callable[[], EvaluationResult],
         reload_state_fn: typing.Callable[[], dict] = None,
         optimizer=None,
+        population_evaluate_fn=None,
     ):
         self.evaluate_fn = evaluate_fn
+        # optional: evaluates a LIST of candidate param dicts in one vmapped
+        # dispatch (see PopulationEvaluator); population-aware optimizers use
+        # it instead of the one-at-a-time apply+evaluate loop
+        self.population_evaluate_fn = population_evaluate_fn
         self.reload_state_fn = reload_state_fn
 
         self.params = params_to_tune

@@ -214,3 +214,73 @@ class TestQD:
         assert 1 <= len(diverse) <= 3
         for p in diverse:
             assert "sigma" in p
+
+
+class TestPopulationEvaluator:
+    """Population-parallel tuning: the whole CMA-ES ask() batch evaluates in
+    one vmapped device dispatch (TPU-native replacement for the reference's
+    Ray-parallel trials, autotune_global.py:114-157)."""
+
+    def _setup(self):
+        env = Toy2DEnvironment(terminal_scale=10.0, dtype=DTYPE)
+        mppi = MPPI(
+            env.dynamics, env.running_cost, 2,
+            noise_sigma=jnp.diag(jnp.array([5.0, 5.0], DTYPE)),
+            num_samples=128, horizon=10,
+            u_max=jnp.array([2.0, 2.0], DTYPE), lambda_=1.0, seed=SEED,
+        )
+        return env, mppi
+
+    def test_shapes_and_finiteness(self):
+        env, mppi = self._setup()
+        ev = autotune.PopulationEvaluator(
+            mppi, env.start, num_refinement_steps=3, num_trajectories=2
+        )
+        res = ev([
+            {"sigma": jnp.array([5.0, 5.0]), "lambda": 1.0},
+            {"sigma": jnp.array([1.0, 1.0]), "lambda": 0.5},
+            {"mu": jnp.array([0.1, -0.1])},
+        ])
+        assert res.costs.shape == (3,)
+        assert res.rollouts.shape == (3, 10, 2)
+        assert np.isfinite(np.asarray(res.costs)).all()
+
+    def test_ordering_sane(self):
+        """A reasonable sigma must beat a degenerate tiny sigma on this task."""
+        env, mppi = self._setup()
+        ev = autotune.PopulationEvaluator(
+            mppi, env.start, num_refinement_steps=5, num_trajectories=3
+        )
+        res = ev([
+            {"sigma": jnp.array([5.0, 5.0])},
+            {"sigma": jnp.array([1e-3, 1e-3])},  # can barely explore
+        ])
+        costs = np.asarray(res.costs)
+        assert costs[0] < costs[1]
+
+    def test_cmaes_population_path_improves_and_skips_evaluate_fn(self):
+        env, mppi = self._setup()
+        ev = autotune.PopulationEvaluator(
+            mppi, env.start, num_refinement_steps=3, num_trajectories=2
+        )
+        calls = {"n": 0}
+
+        def must_not_run():
+            calls["n"] += 1
+            raise AssertionError("sequential evaluate_fn must not be called")
+
+        tuner = autotune.Autotune(
+            [autotune.SigmaParameter(mppi), autotune.LambdaParameter(mppi)],
+            evaluate_fn=must_not_run,
+            optimizer=autotune.CMAESOpt(population=6, sigma=0.5, seed=SEED),
+            population_evaluate_fn=ev,
+        )
+        first = None
+        for _ in range(3):
+            res = tuner.optimize_step()
+            if first is None:
+                first = float(jnp.mean(res.costs))
+        assert calls["n"] == 0
+        best = tuner.get_best_result()
+        assert float(jnp.mean(best.costs)) <= first + 1e-6
+        assert set(best.params) == {"sigma", "lambda"}
