@@ -301,9 +301,20 @@ class MPPI:
             return None, None
         return s.sample_trajectories, s.specific_dynamics
 
+    def _cached_fns(self, builder):
+        """Memoize solver factories per (frozen, hashable) config so horizon
+        toggles reuse previously traced/jitted programs — SURVEY.md §7 hard
+        part (a): HorizonParameter tuning flips T back and forth, and a fresh
+        closure per flip would retrace every time."""
+        cache = self.__dict__.setdefault("_fns_cache", {})
+        key = self.config
+        if key not in cache:
+            cache[key] = builder()
+        return cache[key]
+
     def _build_step_fns(self):
         sample_traj, specific_dyn = self._sampler_fns()
-        self._fns = _solve.make_mppi_step(
+        self._fns = self._cached_fns(lambda: _solve.make_mppi_step(
             self.config,
             self.F,
             self.running_cost,
@@ -313,7 +324,7 @@ class MPPI:
             mesh=self.mesh,
             sample_axis=self.sample_axis,
             use_pallas=self.use_pallas,
-        )
+        ))
 
     def _initial_state(self, U0):
         return MPPIState(U=U0, key=self._next_key())
@@ -535,7 +546,7 @@ class SMPPI(MPPI):
 
     def _build_step_fns(self):
         sample_traj, specific_dyn = self._sampler_fns()
-        self._fns = _solve.make_smppi_step(
+        self._fns = self._cached_fns(lambda: _solve.make_smppi_step(
             self.config,
             self.F,
             self.running_cost,
@@ -544,7 +555,7 @@ class SMPPI(MPPI):
             specific_dynamics=specific_dyn,
             mesh=self.mesh,
             sample_axis=self.sample_axis,
-        )
+        ))
 
     def _initial_state(self, U0):
         # smooth formulation works better starting from 0 controls (mppi.py:479-484)
@@ -650,7 +661,7 @@ class KMPPI(MPPI):
 
     def _build_step_fns(self):
         sample_traj, specific_dyn = self._sampler_fns()
-        self._fns = _solve.make_kmppi_step(
+        self._fns = self._cached_fns(lambda: _solve.make_kmppi_step(
             self.config,
             self.F,
             self.running_cost,
@@ -659,7 +670,7 @@ class KMPPI(MPPI):
             specific_dynamics=specific_dyn,
             mesh=self.mesh,
             sample_axis=self.sample_axis,
-        )
+        ))
 
     def _initial_state(self, U0):
         return KMPPIState(

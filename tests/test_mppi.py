@@ -827,3 +827,41 @@ class TestSolutionQuality:
         res = _run_control_loop(ctrl, state, num_steps=20)
         assert (res["actions"] <= u_max + 1e-6).all(), "Actions exceeded upper bound"
         assert (res["actions"] >= -u_max - 1e-6).all(), "Actions exceeded lower bound"
+
+
+class TestHorizonToggleCache:
+    """change_horizon back to a previously used T must reuse the already
+    traced/jitted solver (SURVEY.md §7 hard part (a): HorizonParameter tuning
+    flips T repeatedly)."""
+
+    def test_fns_reused_across_horizon_toggles(self):
+        ctrl = MPPI(linear_dynamics, quadratic_cost, 2,
+                    jnp.eye(2, dtype=DTYPE), num_samples=32, horizon=8,
+                    lambda_=1.0, seed=SEED)
+        state = jnp.array([0.0, 0.0], dtype=DTYPE)
+        ctrl.command(state)
+        fns_8 = ctrl._fns
+        ctrl.change_horizon(10)
+        fns_10 = ctrl._fns
+        assert fns_10 is not fns_8
+        ctrl.command(state)
+        ctrl.change_horizon(8)
+        assert ctrl._fns is fns_8
+        ctrl.change_horizon(10)
+        assert ctrl._fns is fns_10
+        a = ctrl.command(state)
+        assert a.shape == (2,)
+
+    def test_kmppi_smppi_toggle(self):
+        for cls in (SMPPI, KMPPI):
+            ctrl = cls(linear_dynamics, quadratic_cost, 2,
+                       jnp.eye(2, dtype=DTYPE), num_samples=32, horizon=8,
+                       lambda_=1.0, seed=SEED)
+            state = jnp.array([0.5, -0.5], dtype=DTYPE)
+            ctrl.command(state)
+            first = ctrl._fns
+            ctrl.change_horizon(12)
+            ctrl.command(state)
+            ctrl.change_horizon(8)
+            assert ctrl._fns is first
+            ctrl.command(state)
