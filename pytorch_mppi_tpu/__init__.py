@@ -20,7 +20,7 @@ from .config import (
 )
 from .controller import KMPPI, MPPI, MPPI_Batched, SMPPI, SpecificActionSampler
 from .ops.kernels import BSplineKernel, RBFKernel, TimeKernel
-from .runner import run_mppi
+from .runner import run_mppi, run_mppi_jit
 from .utils.batch import batch_quadratic_product, ensure_tensor, handle_batch_input
 
 __version__ = "0.1.0"
@@ -35,6 +35,7 @@ __all__ = [
     "RBFKernel",
     "BSplineKernel",
     "run_mppi",
+    "run_mppi_jit",
     "handle_batch_input",
     "ensure_tensor",
     "batch_quadratic_product",

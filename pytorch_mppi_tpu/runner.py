@@ -11,10 +11,59 @@ from __future__ import annotations
 import logging
 import time
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 logger = logging.getLogger(__name__)
+
+
+def run_mppi_jit(mppi, plant_dynamics, x0, steps: int, running_cost=None):
+    """Run an entire closed-loop control experiment as ONE jitted dispatch.
+
+    TPU-native extension (no reference counterpart — the reference's loop
+    crosses the host<->device boundary every step, ``mppi.py:876-898``): when
+    the plant itself is a traceable JAX function (a simulated/learned plant
+    rather than a gym env), the whole loop — solve, apply, advance — stays on
+    the device and the host pays ONE round trip for the full experiment.
+
+    :param mppi: a controller built by this package (MPPI/SMPPI/KMPPI)
+    :param plant_dynamics: traceable fn(state (nx,), action (nu,)) -> next state;
+        may differ from the controller's model (model-mismatch experiments)
+    :param x0: (nx,) initial plant state
+    :param steps: number of control steps
+    :param running_cost: optional traceable fn(state, action) -> cost accumulated
+        along the executed trajectory (defaults to the controller's running cost)
+    :returns: (states (steps+1, nx), actions (steps, nu), total_cost scalar);
+        the controller's internal state is advanced to the end of the run.
+    """
+    if running_cost is None:
+        running_cost = mppi.running_cost
+    fns = mppi._fns
+    params = mppi._full_params() if hasattr(mppi, "_full_params") else mppi._params
+    dyn_params = mppi.dynamics_params
+    dtype = mppi.dtype
+
+    @jax.jit
+    def loop(params, cstate, x):
+        def body(carry, _):
+            cstate, x, acc = carry
+            cstate, a, _ = fns.step(params, cstate, x, None, dyn_params)
+            a0 = a[0] if a.ndim > 1 else a  # u_per_command > 1: apply the first
+            acc = acc + running_cost(x[None], a0[None])[0]
+            x_next = plant_dynamics(x, a0)
+            return (cstate, x_next, acc), (x_next, a0)
+
+        (cstate, x, acc), (xs, actions) = jax.lax.scan(
+            body, (cstate, x, jnp.asarray(0.0, dtype)), None, length=steps
+        )
+        return cstate, xs, actions, acc
+
+    x0 = jnp.asarray(x0, dtype)
+    cstate, xs, actions, total_cost = loop(params, mppi._state, x0)
+    mppi._state = cstate
+    states = jnp.concatenate([x0[None], xs], axis=0)
+    return states, actions, total_cost
 
 
 def run_mppi(mppi, env, retrain_dynamics, retrain_after_iter=50, iter=1000, render=True):

@@ -865,3 +865,49 @@ class TestHorizonToggleCache:
             ctrl.change_horizon(8)
             assert ctrl._fns is first
             ctrl.command(state)
+
+
+class TestRunMppiJit:
+    """run_mppi_jit: the whole closed loop as one dispatch (TPU-native
+    extension; reference run_mppi crosses the host boundary per step)."""
+
+    def test_matches_eager_loop(self):
+        from pytorch_mppi_tpu import run_mppi_jit
+
+        def build():
+            return MPPI(linear_dynamics, quadratic_cost, 2,
+                        jnp.eye(2, dtype=DTYPE), num_samples=64, horizon=8,
+                        lambda_=1.0, seed=SEED)
+
+        x0 = jnp.array([-2.0, -2.0], dtype=DTYPE)
+
+        ctrl = build()
+        states, actions, total = run_mppi_jit(ctrl, linear_dynamics, x0, steps=10)
+        assert states.shape == (11, 2)
+        assert actions.shape == (10, 2)
+
+        # eager loop with the same seed must produce the identical trajectory
+        ctrl2 = build()
+        s = x0
+        for t in range(10):
+            a = ctrl2.command(s)
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(actions[t]))
+            s = linear_dynamics(s, a)
+            np.testing.assert_array_equal(np.asarray(s), np.asarray(states[t + 1]))
+
+        # controller state advanced identically
+        np.testing.assert_array_equal(np.asarray(ctrl.U), np.asarray(ctrl2.U))
+
+    def test_model_mismatch_plant(self):
+        from pytorch_mppi_tpu import run_mppi_jit
+
+        ctrl = MPPI(linear_dynamics, quadratic_cost, 2,
+                    jnp.eye(2, dtype=DTYPE), num_samples=128, horizon=10,
+                    lambda_=1.0, seed=SEED)
+        # true plant responds slightly differently than the controller's model
+        plant = lambda s, a: s + 0.9 * (a @ B.T)
+        x0 = jnp.array([-2.0, -2.0], dtype=DTYPE)
+        states, actions, total = run_mppi_jit(ctrl, plant, x0, steps=25)
+        final_dist = float(jnp.linalg.norm(GOAL - states[-1]))
+        assert final_dist < 1.0
+        assert float(total) > 0
