@@ -31,7 +31,7 @@ K = 10_000
 T = 30
 NX = NU = 2
 SOLVES_PER_DISPATCH = 1000
-REPEATS = 3
+REPEATS = 7  # median over more repeats: the relay RTT jitters tens of ms
 DTYPE = jnp.float32
 
 
