@@ -130,3 +130,28 @@ class TestDeterminismAcrossMeshShapes:
             actions.append(np.asarray(ctrl.command(state)))
         np.testing.assert_allclose(actions[0], actions[1], rtol=1e-12)
         np.testing.assert_allclose(actions[0], actions[2], rtol=1e-12)
+
+
+def test_antithetic_sharded_matches_single_device():
+    """Antithetic sampling composes with K-sharding.  The mirrored concat
+    changes data placement and therefore the reduction tree, so agreement is
+    to float tolerance (unlike the plain path's bit-identity) — still
+    deterministic per configuration."""
+    import jax
+    from jax.sharding import Mesh
+
+    from pytorch_mppi_tpu import MPPI
+
+    kw = dict(num_samples=64, horizon=6, lambda_=1.0, seed=11,
+              antithetic_sampling=True)
+    c_ref = MPPI(linear_dynamics, quadratic_cost, 2, jnp.eye(2, dtype=DTYPE), **kw)
+    mesh = Mesh(np.array(jax.devices()[:4]).reshape(4), ("k",))
+    c_sh = MPPI(linear_dynamics, quadratic_cost, 2, jnp.eye(2, dtype=DTYPE),
+                mesh=mesh, sample_axis="k", **kw)
+    state = jnp.array([-2.0, 1.0], DTYPE)
+    for _ in range(3):
+        a1 = c_ref.command(state)
+        a2 = c_sh.command(state)
+        np.testing.assert_allclose(
+            np.asarray(a1), np.asarray(a2), rtol=1e-12, atol=1e-13
+        )
