@@ -61,6 +61,12 @@ class MPPIConfig:
     # (classic antithetic-variates trick) and halve the RNG cost — sampling is
     # ~half of a K=10k solve on a v5e chip.
     antithetic: bool = False
+    # TPU-native extension (MPPI-Generic's num_iters knob, arXiv:2409.07563;
+    # no counterpart in the reference): repeat the sample->rollout->weight->
+    # update cycle this many times inside ONE command, re-centering the
+    # sampling distribution on the updated nominal sequence each time. All
+    # iterations run inside the same jitted dispatch.
+    num_iterations: int = 1
     dtype: Any = jnp.float32
 
     # SMPPI extras (reference mppi.py:451-570). Only read by the SMPPI factory.

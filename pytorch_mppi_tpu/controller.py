@@ -172,6 +172,7 @@ class MPPI:
         noise_abs_cost: bool = False,
         stochastic_dynamics: bool = False,
         antithetic_sampling: bool = False,
+        num_iterations: int = 1,
         dynamics_params=None,
         seed: Optional[int] = 0,
         key=None,
@@ -220,6 +221,9 @@ class MPPI:
         # antithetic variates: K/2 mirrored draws (variance reduction, half the
         # RNG cost); TPU-native extension, no reference counterpart
         self.antithetic_sampling = bool(antithetic_sampling)
+        # optimization iterations per command (MPPI-Generic's num_iters); the
+        # whole cycle repeats inside one jitted dispatch
+        self.num_iterations = int(num_iterations)
         self.rollout_var_cost = float(rollout_var_cost)
         self.rollout_var_discount = float(rollout_var_discount)
 
@@ -292,6 +296,7 @@ class MPPI:
             stochastic_dynamics=self.stochastic_dynamics,
             parameterized_dynamics=self.dynamics_params is not None,
             antithetic=self.antithetic_sampling,
+            num_iterations=self.num_iterations,
             dtype=self.dtype,
         )
 
@@ -528,6 +533,12 @@ class SMPPI(MPPI):
 
     def _build_config(self):
         super()._build_config()
+        if self.config.num_iterations != 1:
+            raise ValueError(
+                "num_iterations > 1 is only supported by the base MPPI "
+                "controller (SMPPI integrates the lifted sequence once per "
+                "command)"
+            )
         self.config = self.config.__class__(
             **{**self.config.__dict__, "smppi": True}
         )
@@ -643,6 +654,12 @@ class KMPPI(MPPI):
         if not hasattr(self, "num_support_pts"):
             self.num_support_pts = int(self._nsp_arg or self.T // 2)
         super()._build_config()
+        if self.config.num_iterations != 1:
+            raise ValueError(
+                "num_iterations > 1 is only supported by the base MPPI "
+                "controller (KMPPI updates in control-point space once per "
+                "command)"
+            )
         self.config = self.config.__class__(
             **{**self.config.__dict__, "num_support_pts": self.num_support_pts}
         )

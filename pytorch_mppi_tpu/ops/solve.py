@@ -374,10 +374,24 @@ def make_mppi_step(
         U = state.U
         if shift:
             U = _shift_U(U, params.u_init)
-        key, k_noise, k_roll = jax.random.split(state.key, 3)
+        key = state.key
 
         x0 = jnp.asarray(x0, dtype)
 
+        # optimization iterations per command (config.num_iterations, default 1):
+        # re-center the sampling distribution on the updated nominal sequence and
+        # repeat the whole sample->rollout->weight->update cycle — all inside the
+        # same traced program (MPPI-Generic's num_iters, arXiv:2409.07563)
+        for _ in range(config.num_iterations):
+            key, k_noise, k_roll = jax.random.split(key, 3)
+            U, artifacts = _one_iteration(
+                params, U, x0, info, k_noise, k_roll, dyn_params
+            )
+
+        action = _select_action(config, U)
+        return MPPIState(U=U, key=key), action, artifacts
+
+    def _one_iteration(params, U, x0, info, k_noise, k_roll, dyn_params):
         # The sampling/bounding/weighting pipeline runs in flat (K, T·nu) 2-D
         # layout: TPU tiles the two minor dims (8, 128), so a (K, T, nu) tensor
         # with nu=2 lane-pads 64x on every elementwise pass.  Lane-dense flat
@@ -452,8 +466,7 @@ def make_mppi_step(
             states=states,
             actions=None if actions is None else actions / jnp.asarray(config.u_scale, dtype),
         )
-        action = _select_action(config, U_new)
-        return MPPIState(U=U_new, key=key), action, artifacts
+        return U_new, artifacts
 
     def step(params, state, x0, info=None, dyn_params=None):
         return _solve(params, state, x0, info, shift=True, dyn_params=dyn_params)

@@ -232,3 +232,51 @@ class TestBfloat16:
         # reference's own docs) needs per-env tuning: require progress, not
         # convergence, for it; full convergence for MPPI/KMPPI
         assert d < (4.0 if cls_name == "SMPPI" else 1.5)
+
+
+class TestNumIterations:
+    """num_iterations: repeated sample->rollout->weight->update cycles inside
+    one command (MPPI-Generic's num_iters; no reference counterpart)."""
+
+    def _run(self, num_iterations, steps=5):
+        ctrl = MPPI(linear_dynamics, quadratic_cost, 2, jnp.eye(2, dtype=DTYPE),
+                    num_samples=128, horizon=10, lambda_=1.0, seed=SEED,
+                    num_iterations=num_iterations)
+        s = jnp.array([-3.0, -2.0], dtype=DTYPE)
+        total = 0.0
+        for _ in range(steps):
+            a = ctrl.command(s)
+            total += float(quadratic_cost(s[None], a[None])[0])
+            s = linear_dynamics(s, a)
+        return total, np.asarray(s)
+
+    def test_more_iterations_refine_faster(self):
+        c1, s1 = self._run(1, steps=8)
+        c4, s4 = self._run(4, steps=8)
+        d1 = np.linalg.norm(s1 - np.asarray(GOAL))
+        d4 = np.linalg.norm(s4 - np.asarray(GOAL))
+        # with 4 refinements per command the loop must do at least as well as
+        # single-iteration on accumulated cost, and both make real progress
+        # (start is ~6.4 away)
+        assert c4 <= c1 * 1.05
+        assert d4 < 2.0 and d1 < 2.0
+
+    def test_single_iteration_unchanged(self):
+        """num_iterations=1 must be bit-identical to the default controller."""
+        a_default = MPPI(linear_dynamics, quadratic_cost, 2,
+                         jnp.eye(2, dtype=DTYPE), num_samples=64, horizon=6,
+                         lambda_=1.0, seed=SEED).command(
+            jnp.array([0.5, 0.5], dtype=DTYPE))
+        a_one = MPPI(linear_dynamics, quadratic_cost, 2,
+                     jnp.eye(2, dtype=DTYPE), num_samples=64, horizon=6,
+                     lambda_=1.0, seed=SEED, num_iterations=1).command(
+            jnp.array([0.5, 0.5], dtype=DTYPE))
+        np.testing.assert_array_equal(np.asarray(a_default), np.asarray(a_one))
+
+    def test_variants_reject(self):
+        from pytorch_mppi_tpu import KMPPI, SMPPI
+
+        for cls in (SMPPI, KMPPI):
+            with pytest.raises(ValueError):
+                cls(linear_dynamics, quadratic_cost, 2, jnp.eye(2, dtype=DTYPE),
+                    num_samples=32, horizon=6, seed=SEED, num_iterations=2)
