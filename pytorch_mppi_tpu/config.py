@@ -67,6 +67,12 @@ class MPPIConfig:
     # sampling distribution on the updated nominal sequence each time. All
     # iterations run inside the same jitted dispatch.
     num_iterations: int = 1
+    # TPU-native extension (no reference counterpart): temporal AR(1)
+    # correlation of the exploration noise across the horizon (0 = white,
+    # the reference's behavior). Smoother candidate trajectories explore
+    # low-frequency actuation much more efficiently; in the flat layout it
+    # folds into the same kron mixing matmul as the covariance cholesky.
+    noise_rho: float = 0.0
     dtype: Any = jnp.float32
 
     # SMPPI extras (reference mppi.py:451-570). Only read by the SMPPI factory.

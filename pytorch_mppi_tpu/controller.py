@@ -173,6 +173,7 @@ class MPPI:
         stochastic_dynamics: bool = False,
         antithetic_sampling: bool = False,
         num_iterations: int = 1,
+        noise_rho: float = 0.0,
         dynamics_params=None,
         seed: Optional[int] = 0,
         key=None,
@@ -224,6 +225,10 @@ class MPPI:
         # optimization iterations per command (MPPI-Generic's num_iters); the
         # whole cycle repeats inside one jitted dispatch
         self.num_iterations = int(num_iterations)
+        # AR(1) temporal correlation of the exploration noise (0 = white)
+        if not (0.0 <= float(noise_rho) < 1.0):
+            raise ValueError("noise_rho must be in [0, 1)")
+        self.noise_rho = float(noise_rho)
         self.rollout_var_cost = float(rollout_var_cost)
         self.rollout_var_discount = float(rollout_var_discount)
 
@@ -297,6 +302,7 @@ class MPPI:
             parameterized_dynamics=self.dynamics_params is not None,
             antithetic=self.antithetic_sampling,
             num_iterations=self.num_iterations,
+            noise_rho=self.noise_rho,
             dtype=self.dtype,
         )
 
@@ -781,6 +787,7 @@ class MPPI_Batched:
         noise_abs_cost: bool = False,
         stochastic_dynamics: bool = False,
         antithetic_sampling: bool = False,
+        noise_rho: float = 0.0,
         dynamics_params=None,
         seed: Optional[int] = 0,
         key=None,
@@ -831,6 +838,7 @@ class MPPI_Batched:
             stochastic_dynamics=bool(stochastic_dynamics),
             parameterized_dynamics=dynamics_params is not None,
             antithetic=bool(antithetic_sampling),
+            noise_rho=float(noise_rho),
             dtype=self.dtype,
         )
         self._fns = _solve.make_batched_step(

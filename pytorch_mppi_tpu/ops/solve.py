@@ -92,8 +92,21 @@ def sample_noise(key: jax.Array, leading_shape, params: MPPIParams, dtype) -> ja
     return z @ chol.T + params.noise_mu
 
 
+def ar1_mixing(reps: int, rho: float, dtype) -> jax.Array:
+    """Lower-triangular AR(1) mixing matrix A with unit row norms:
+    z_t = rho z_{t-1} + sqrt(1-rho^2) eps_t  ==>  A[t, s] = rho^(t-s) *
+    (sqrt(1-rho^2) if s > 0 else 1) for s <= t.  Row norms are exactly 1, so
+    per-step marginals stay N(0, 1) while lag-1 correlation is rho."""
+    t = jnp.arange(reps)[:, None]
+    s = jnp.arange(reps)[None, :]
+    pw = jnp.where(s <= t, jnp.asarray(rho, jnp.float64) ** (t - s), 0.0)
+    scale = jnp.where(s > 0, jnp.sqrt(1.0 - jnp.float64(rho) ** 2), 1.0)
+    return (pw * scale).astype(dtype)
+
+
 def sample_noise_flat(key: jax.Array, K: int, reps: int, params: MPPIParams, dtype,
-                      antithetic: bool = False, chol=None) -> jax.Array:
+                      antithetic: bool = False, chol=None,
+                      noise_rho: float = 0.0) -> jax.Array:
     """Draw N(mu, Sigma) control noise in flat lane-dense ``(K, reps*nu)`` layout.
 
     Equivalent to ``sample_noise(key, (K, reps), ...)`` reshaped row-major:
@@ -117,7 +130,14 @@ def sample_noise_flat(key: jax.Array, K: int, reps: int, params: MPPIParams, dty
         z2 = jnp.concatenate([z_half, -z_half], axis=0)[:K]
     else:
         z2 = jax.random.normal(key, (K, reps * nu), dtype)
-    C = jnp.kron(jnp.eye(reps, dtype=dtype), chol.T.astype(dtype))
+    if noise_rho:
+        # temporal AR(1) correlation folds into the same mixing operator:
+        # noise[k, t] = sum_s A[t, s] (z[k, s] @ chol^T).  In the row-vector
+        # convention (z2 @ C) the time factor must enter TRANSPOSED:
+        # (z2 @ kron(M, cholT))[k, t] = sum_s M[s, t] (...), so M = A^T.
+        C = jnp.kron(ar1_mixing(reps, noise_rho, dtype).T, chol.T.astype(dtype))
+    else:
+        C = jnp.kron(jnp.eye(reps, dtype=dtype), chol.T.astype(dtype))
     return z2 @ C + jnp.tile(params.noise_mu, reps)
 
 
@@ -400,7 +420,8 @@ def make_mppi_step(
         # results are bit-identical to the 3-D formulation.
         chol, sigma_inv = _sigma_factors(params.noise_sigma)
         noise2 = sample_noise_flat(
-            k_noise, K, T, params, dtype, antithetic=config.antithetic, chol=chol
+            k_noise, K, T, params, dtype, antithetic=config.antithetic, chol=chol,
+            noise_rho=config.noise_rho,
         )
         noise2 = cset(noise2, sample_axis)
         U2 = U.reshape(D)
@@ -553,7 +574,8 @@ def make_smppi_step(
         # noise lives in action-*rate* space (mppi.py:539-552)
         chol, sigma_inv = _sigma_factors(base.noise_sigma)
         noise2 = sample_noise_flat(
-            k_noise, K, T, base, dtype, antithetic=config.antithetic, chol=chol
+            k_noise, K, T, base, dtype, antithetic=config.antithetic, chol=chol,
+            noise_rho=config.noise_rho,
         )
         noise2 = cset(noise2, sample_axis)
         U2 = U.reshape(D)
@@ -670,7 +692,8 @@ def make_kmppi_step(
         # support points (mppi.py:657-664).
         chol, sigma_inv = _sigma_factors(base.noise_sigma)
         noise_theta2 = sample_noise_flat(
-            k_noise, K, nsp, base, dtype, antithetic=config.antithetic, chol=chol
+            k_noise, K, nsp, base, dtype, antithetic=config.antithetic, chol=chol,
+            noise_rho=config.noise_rho,
         )
         noise_theta2 = cset(noise_theta2, sample_axis)
         theta2 = theta.reshape(Dp)
@@ -791,7 +814,8 @@ def make_batched_step(
         # sampled once and shared across envs (mppi.py:837-838)
         chol, sigma_inv = _sigma_factors(params.noise_sigma)
         noise2 = sample_noise_flat(
-            k_noise, K, T, params, dtype, antithetic=config.antithetic, chol=chol
+            k_noise, K, T, params, dtype, antithetic=config.antithetic, chol=chol,
+            noise_rho=config.noise_rho,
         )  # (K, D)
         noise2 = cset(noise2, kax)
         U2 = U.reshape(N, D)
