@@ -455,10 +455,20 @@ class PopulationEvaluator:
         # candidates on axis 0 of the params pytree AND of the key batch
         self._eval_pop = jax.jit(jax.vmap(eval_candidate, in_axes=(0, 0)))
 
+    _SUPPORTED = frozenset({"sigma", "mu", "lambda"})
+
     def _batch_params(self, param_dicts):
         base = self.mppi._params
         P = len(param_dicts)
         dt = self.dtype
+        unsupported = {k for d in param_dicts for k in d} - self._SUPPORTED
+        if unsupported:
+            raise ValueError(
+                f"PopulationEvaluator supports sigma/mu/lambda only; got "
+                f"{sorted(unsupported)}. Horizon changes shapes and cannot be "
+                f"vmapped — tune it with the sequential evaluate_fn path or an "
+                f"outer per-horizon loop."
+            )
 
         def stack(field, fallback):
             return jnp.stack([

@@ -72,6 +72,9 @@ class MPPIConfig:
     # the reference's behavior). Smoother candidate trajectories explore
     # low-frequency actuation much more efficiently; in the flat layout it
     # folds into the same kron mixing matmul as the covariance cholesky.
+    # NOTE: for KMPPI the correlation applies across the nsp SUPPORT POINTS
+    # (spaced T/nsp steps apart), so the same rho smooths more per timestep
+    # than it does on MPPI/SMPPI — retune when switching variants.
     noise_rho: float = 0.0
     dtype: Any = jnp.float32
 

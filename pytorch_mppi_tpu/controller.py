@@ -111,6 +111,12 @@ def _coerce_sigma(noise_sigma, dtype=None):
     return sigma
 
 
+def _validate_rho(noise_rho):
+    if not (0.0 <= float(noise_rho) < 1.0):
+        raise ValueError("noise_rho must be in [0, 1)")
+    return float(noise_rho)
+
+
 def _complete_bounds(u_min, u_max, nu, dtype):
     """Symmetric-bound completion + resolve to +-inf clamps (mppi.py:108-126)."""
     if u_max is not None and u_min is None:
@@ -225,10 +231,10 @@ class MPPI:
         # optimization iterations per command (MPPI-Generic's num_iters); the
         # whole cycle repeats inside one jitted dispatch
         self.num_iterations = int(num_iterations)
+        if self.num_iterations < 1:
+            raise ValueError("num_iterations must be >= 1")
         # AR(1) temporal correlation of the exploration noise (0 = white)
-        if not (0.0 <= float(noise_rho) < 1.0):
-            raise ValueError("noise_rho must be in [0, 1)")
-        self.noise_rho = float(noise_rho)
+        self.noise_rho = _validate_rho(noise_rho)
         self.rollout_var_cost = float(rollout_var_cost)
         self.rollout_var_discount = float(rollout_var_discount)
 
@@ -838,7 +844,7 @@ class MPPI_Batched:
             stochastic_dynamics=bool(stochastic_dynamics),
             parameterized_dynamics=dynamics_params is not None,
             antithetic=bool(antithetic_sampling),
-            noise_rho=float(noise_rho),
+            noise_rho=_validate_rho(noise_rho),
             dtype=self.dtype,
         )
         self._fns = _solve.make_batched_step(

@@ -99,8 +99,12 @@ def ar1_mixing(reps: int, rho: float, dtype) -> jax.Array:
     per-step marginals stay N(0, 1) while lag-1 correlation is rho."""
     t = jnp.arange(reps)[:, None]
     s = jnp.arange(reps)[None, :]
-    pw = jnp.where(s <= t, jnp.asarray(rho, jnp.float64) ** (t - s), 0.0)
-    scale = jnp.where(s > 0, jnp.sqrt(1.0 - jnp.float64(rho) ** 2), 1.0)
+    # build in f32 (not f64: with x64 disabled an explicit f64 request emits a
+    # warning per trace and silently truncates anyway); rho powers over a
+    # control horizon are comfortably within f32 range/precision
+    r = jnp.float32(rho)
+    pw = jnp.where(s <= t, r ** (t - s).astype(jnp.float32), jnp.float32(0))
+    scale = jnp.where(s > 0, jnp.sqrt(jnp.float32(1) - r * r), jnp.float32(1))
     return (pw * scale).astype(dtype)
 
 

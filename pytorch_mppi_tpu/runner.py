@@ -37,6 +37,11 @@ def run_mppi_jit(mppi, plant_dynamics, x0, steps: int, running_cost=None):
     :returns: (states (steps+1, nx), actions (steps, nu), total_cost scalar);
         the controller's internal state is advanced to the end of the run.
     """
+    if mppi.u_per_command != 1:
+        raise ValueError(
+            "run_mppi_jit applies one action per solve; u_per_command > 1 "
+            "would silently diverge from the eager loop — drive it manually"
+        )
     if running_cost is None:
         running_cost = mppi.running_cost
     fns = mppi._fns
@@ -44,20 +49,30 @@ def run_mppi_jit(mppi, plant_dynamics, x0, steps: int, running_cost=None):
     dyn_params = mppi.dynamics_params
     dtype = mppi.dtype
 
-    @jax.jit
-    def loop(params, cstate, x):
-        def body(carry, _):
-            cstate, x, acc = carry
-            cstate, a, _ = fns.step(params, cstate, x, None, dyn_params)
-            a0 = a[0] if a.ndim > 1 else a  # u_per_command > 1: apply the first
-            acc = acc + running_cost(x[None], a0[None])[0]
-            x_next = plant_dynamics(x, a0)
-            return (cstate, x_next, acc), (x_next, a0)
+    # cache the jitted loop per (plant, cost, steps, solver bundle) so repeated
+    # episodes do not retrace the steps-length scan every call
+    cache = mppi.__dict__.setdefault("_runner_cache", {})
+    cache_key = (plant_dynamics, running_cost, int(steps), fns)
+    loop = cache.get(cache_key)
+    if loop is None:
 
-        (cstate, x, acc), (xs, actions) = jax.lax.scan(
-            body, (cstate, x, jnp.asarray(0.0, dtype)), None, length=steps
-        )
-        return cstate, xs, actions, acc
+        @jax.jit
+        def loop(params, cstate, x):
+            def body(carry, _):
+                cstate, x, acc = carry
+                cstate, a, _ = fns.step(params, cstate, x, None, dyn_params)
+                x_next = plant_dynamics(x, a)
+                # post-dynamics cost convention, matching the controller's
+                # objective (see MPPI docstring / reference mppi.py:314-318)
+                acc = acc + running_cost(x_next[None], a[None])[0]
+                return (cstate, x_next, acc), (x_next, a)
+
+            (cstate, x, acc), (xs, actions) = jax.lax.scan(
+                body, (cstate, x, jnp.asarray(0.0, dtype)), None, length=steps
+            )
+            return cstate, xs, actions, acc
+
+        cache[cache_key] = loop
 
     x0 = jnp.asarray(x0, dtype)
     cstate, xs, actions, total_cost = loop(params, mppi._state, x0)

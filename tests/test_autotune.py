@@ -284,3 +284,10 @@ class TestPopulationEvaluator:
         best = tuner.get_best_result()
         assert float(jnp.mean(best.costs)) <= first + 1e-6
         assert set(best.params) == {"sigma", "lambda"}
+
+    def test_unsupported_param_rejected(self):
+        env, mppi = self._setup()
+        ev = autotune.PopulationEvaluator(mppi, env.start,
+                                          num_refinement_steps=2)
+        with pytest.raises(ValueError, match="sigma/mu/lambda"):
+            ev([{"horizon": 12}])

@@ -355,3 +355,39 @@ class TestTimeCorrelatedNoise:
         with pytest.raises(ValueError):
             MPPI(linear_dynamics, quadratic_cost, 2, jnp.eye(2, dtype=DTYPE),
                  num_samples=16, horizon=4, seed=0, noise_rho=1.0)
+
+
+class TestValidationGuards:
+    """Loud errors instead of silent wrong results (review findings)."""
+
+    def test_num_iterations_zero_rejected(self):
+        with pytest.raises(ValueError):
+            MPPI(linear_dynamics, quadratic_cost, 2, jnp.eye(2, dtype=DTYPE),
+                 num_samples=16, horizon=4, seed=0, num_iterations=0)
+
+    def test_batched_noise_rho_validated(self):
+        from pytorch_mppi_tpu import MPPI_Batched
+
+        with pytest.raises(ValueError):
+            MPPI_Batched(linear_dynamics, quadratic_cost, 2,
+                         jnp.eye(2, dtype=DTYPE), num_envs=2, num_samples=16,
+                         horizon=4, seed=0, noise_rho=1.5)
+
+    def test_run_mppi_jit_rejects_u_per_command(self):
+        from pytorch_mppi_tpu import run_mppi_jit
+
+        ctrl = MPPI(linear_dynamics, quadratic_cost, 2, jnp.eye(2, dtype=DTYPE),
+                    num_samples=16, horizon=4, seed=0, u_per_command=3)
+        with pytest.raises(ValueError):
+            run_mppi_jit(ctrl, linear_dynamics, jnp.zeros(2, DTYPE), steps=2)
+
+    def test_run_mppi_jit_loop_is_cached(self):
+        from pytorch_mppi_tpu import run_mppi_jit
+
+        ctrl = MPPI(linear_dynamics, quadratic_cost, 2, jnp.eye(2, dtype=DTYPE),
+                    num_samples=16, horizon=4, seed=0)
+        x0 = jnp.zeros(2, DTYPE)
+        run_mppi_jit(ctrl, linear_dynamics, x0, steps=3)
+        cached = dict(ctrl._runner_cache)
+        run_mppi_jit(ctrl, linear_dynamics, x0, steps=3)
+        assert ctrl._runner_cache == cached  # same jitted loop reused
