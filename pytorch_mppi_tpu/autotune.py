@@ -197,10 +197,10 @@ class CMAESOpt(Optimizer):
         params = self.optim.ask()
         pop_fn = getattr(self.tuner, "population_evaluate_fn", None)
         if pop_fn is not None:
-            # whole population in one vmapped device dispatch
+            # whole population in one vmapped device dispatch (sigma/mu/lambda;
+            # shape-changing params like horizon group into an outer loop)
             dicts = [self.tuner.unflatten_params(p, apply=False) for p in params]
-            res = pop_fn(dicts)
-            cost_per_param = np.asarray(res.costs, dtype=np.float64)
+            cost_per_param = evaluate_population(self.tuner, pop_fn, dicts)
         else:
             cost_per_param = []
             for param in params:
@@ -213,7 +213,9 @@ class CMAESOpt(Optimizer):
         # re-evaluate the best (reference autotune.py:81-84)
         best_values = self.tuner.unflatten_params(self.optim.best.x)
         if pop_fn is not None:
-            res = pop_fn([best_values])
+            res = pop_fn(
+                [{k: v for k, v in best_values.items() if k in _VMAPPABLE_PARAMS}]
+            )
             return res._replace(costs=res.costs.reshape(-1))
         return self.tuner.evaluate_fn()
 
@@ -531,6 +533,42 @@ class PopulationEvaluator:
             batched, keys, self.mppi.U, self.mppi.dynamics_params
         )
         return EvaluationResult(costs, rollouts)
+
+
+_VMAPPABLE_PARAMS = frozenset({"sigma", "mu", "lambda"})
+
+
+def evaluate_population(tuner, pop_fn, param_values_list):
+    """Evaluate a list of full param-value dicts with as few dispatches as
+    possible: array-valued hyperparameters (sigma/mu/lambda) ride ONE vmapped
+    device dispatch via ``pop_fn`` (see :class:`PopulationEvaluator`);
+    shape-changing parameters (horizon) are grouped by value and applied as an
+    outer loop, one vmapped dispatch per distinct shape.
+
+    :returns: (P,) numpy array of mean costs aligned with the input list.
+    """
+    by_name = {p.name(): p for p in tuner.params}
+    shape_names = [n for n in by_name if n not in _VMAPPABLE_PARAMS]
+    costs = np.full(len(param_values_list), np.nan)
+
+    def group_key(pv):
+        # validate first (e.g. horizon rounds to int) so candidates that
+        # resolve to the same shape share one dispatch
+        return tuple(by_name[n].ensure_valid_value(pv[n]) for n in shape_names)
+
+    groups: dict = {}
+    for i, pv in enumerate(param_values_list):
+        groups.setdefault(group_key(pv), []).append(i)
+    for key, idxs in groups.items():
+        for n, v in zip(shape_names, key):
+            by_name[n].apply_parameter_value(v)
+        dicts = [
+            {k: v for k, v in param_values_list[i].items() if k in _VMAPPABLE_PARAMS}
+            for i in idxs
+        ]
+        res = pop_fn(dicts)
+        costs[np.asarray(idxs)] = np.asarray(res.costs, dtype=np.float64).reshape(-1)
+    return costs
 
 
 # ---------------------------------------------------------------------------

@@ -258,8 +258,30 @@ class GlobalSearchOpt(autotune.Optimizer):
         return configs
 
     def optimize_step(self):
+        configs = self._next_configs()
+        pop_fn = getattr(self.tuner, "population_evaluate_fn", None)
+        if pop_fn is not None:
+            # the whole batch in one vmapped device dispatch per distinct
+            # shape (sigma/mu/lambda batched; horizon groups an outer loop) —
+            # the natural fit for batch-per-step global search (the reference
+            # parallelizes trials across Ray workers, autotune_global.py:128-140)
+            dicts = [self.tuner.config_to_params(c) for c in configs]
+            costs = autotune.evaluate_population(self.tuner, pop_fn, dicts)
+            i_best = int(np.argmin(costs))
+            if costs[i_best] < self.best_cost:
+                self.best_cost = float(costs[i_best])
+                self.best_config = configs[i_best]
+            # land on the best seen so far (greedy) and re-evaluate it
+            best_values = self.tuner.config_to_params(self.best_config)
+            self.tuner.apply_parameters(best_values)
+            res = pop_fn([
+                {k: v for k, v in best_values.items()
+                 if k in autotune._VMAPPABLE_PARAMS}
+            ])
+            return res._replace(costs=res.costs.reshape(-1))
+
         best_res = None
-        for config in self._next_configs():
+        for config in configs:
             self.tuner.attach_parameters()
             self.tuner.apply_parameters(self.tuner.config_to_params(config))
             res = self.tuner.evaluate_fn()

@@ -112,21 +112,40 @@ class CMAMEOpt(autotune.Optimizer):
 
     def optimize_step(self):
         params = self.optim.ask()
-        improvements = []
-        for param in params:
-            full_param = self.tuner.unflatten_params(param)
-            res = self.tuner.evaluate_fn()
-            cost = float(np.mean(np.asarray(res.costs)))
-            behavior = self.tuner.linearize_params(full_param)
-            imp = self.archive.add(np.asarray(param), -cost, behavior)
-            improvements.append(imp)
+        pop_fn = getattr(self.tuner, "population_evaluate_fn", None)
+        if pop_fn is not None:
+            # the whole emitter population in one vmapped device dispatch per
+            # distinct shape (see autotune.evaluate_population)
+            dicts = [self.tuner.unflatten_params(p, apply=False) for p in params]
+            costs = autotune.evaluate_population(self.tuner, pop_fn, dicts)
+            improvements = [
+                self.archive.add(
+                    np.asarray(param), -float(c), self.tuner.linearize_params(fp)
+                )
+                for param, c, fp in zip(params, costs, dicts)
+            ]
+        else:
+            improvements = []
+            for param in params:
+                full_param = self.tuner.unflatten_params(param)
+                res = self.tuner.evaluate_fn()
+                cost = float(np.mean(np.asarray(res.costs)))
+                behavior = self.tuner.linearize_params(full_param)
+                imp = self.archive.add(np.asarray(param), -cost, behavior)
+                improvements.append(imp)
         # CMA-ME: rank by archive improvement rather than raw objective
         # (emitter restarts implicitly when no improvement: worst rank everywhere)
         fitness = [-i if np.isfinite(i) else 1e9 for i in improvements]
         self.optim.tell(params, fitness)
 
         best = self.archive.best_elite
-        self.tuner.unflatten_params(best.solution)
+        best_values = self.tuner.unflatten_params(best.solution)
+        if pop_fn is not None:
+            res = pop_fn([
+                {k: v for k, v in best_values.items()
+                 if k in autotune._VMAPPABLE_PARAMS}
+            ])
+            return res._replace(costs=res.costs.reshape(-1))
         return self.tuner.evaluate_fn()
 
     def get_diverse_top_parameters(self, num_top):

@@ -164,32 +164,62 @@ def _bound(action: jax.Array, lo: jax.Array, hi: jax.Array) -> jax.Array:
 # ---------------------------------------------------------------------------
 
 
+def _adapt_batch_rank(call: Callable) -> Callable:
+    """``handle_batch_input(n=2)`` semantics (reference mppi.py:221-227)
+    applied to the resolved ``(state, action)`` pair: a user function written
+    for flat 2-D batches transparently accepts inputs with extra leading batch
+    dimensions — they are flattened before the call and restored on every
+    output.  Under jit the rank check resolves at trace time, and the engine's
+    hot paths always pass 2-D, so this costs nothing there."""
+
+    def adapted(s, u, *rest):
+        if s.ndim <= 2:
+            return call(s, u, *rest)
+        lead = s.shape[:-1]
+        out = call(s.reshape(-1, s.shape[-1]), u.reshape(-1, u.shape[-1]), *rest)
+        return jax.tree_util.tree_map(
+            lambda r: r.reshape(*lead, *r.shape[1:]), out
+        )
+
+    return adapted
+
+
 def wrap_dynamics(config: MPPIConfig, dynamics: Callable) -> Callable:
     """Resolve the user dynamics to a uniform ``(dyn_params, state, u, t, key) ->
     next_state`` signature at trace time (analog of reference init wrapping,
-    mppi.py:147-156).  The leading params pytree is only forwarded when
-    ``parameterized_dynamics`` is set (learned models, traced weights)."""
+    mppi.py:147-156), with batch-rank adaptation on the (state, action) pair
+    (reference wraps via handle_batch_input(n=2), mppi.py:221-227).  The
+    leading params pytree is only forwarded when ``parameterized_dynamics`` is
+    set (learned models, traced weights)."""
     if config.parameterized_dynamics:
         if config.stochastic_dynamics:
             if config.step_dependent_dynamics:
-                return dynamics  # (p, state, u, t, key)
-            return lambda p, s, u, t, k: dynamics(p, s, u, k)
+                base = lambda p, s, u, t, k: dynamics(p, s, u, t, k)
+            else:
+                base = lambda p, s, u, t, k: dynamics(p, s, u, k)
+        elif config.step_dependent_dynamics:
+            base = lambda p, s, u, t, k: dynamics(p, s, u, t)
+        else:
+            base = lambda p, s, u, t, k: dynamics(p, s, u)
+    elif config.stochastic_dynamics:
         if config.step_dependent_dynamics:
-            return lambda p, s, u, t, k: dynamics(p, s, u, t)
-        return lambda p, s, u, t, k: dynamics(p, s, u)
-    if config.stochastic_dynamics:
-        if config.step_dependent_dynamics:
-            return lambda p, s, u, t, k: dynamics(s, u, t, k)
-        return lambda p, s, u, t, k: dynamics(s, u, k)
-    if config.step_dependent_dynamics:
-        return lambda p, s, u, t, k: dynamics(s, u, t)
-    return lambda p, s, u, t, k: dynamics(s, u)
+            base = lambda p, s, u, t, k: dynamics(s, u, t, k)
+        else:
+            base = lambda p, s, u, t, k: dynamics(s, u, k)
+    elif config.step_dependent_dynamics:
+        base = lambda p, s, u, t, k: dynamics(s, u, t)
+    else:
+        base = lambda p, s, u, t, k: dynamics(s, u)
+    adapted = _adapt_batch_rank(lambda s, u, p, t, k: base(p, s, u, t, k))
+    return lambda p, s, u, t, k: adapted(s, u, p, t, k)
 
 
 def wrap_cost(config: MPPIConfig, running_cost: Callable) -> Callable:
+    """Resolve the user running cost to ``(state, u, t) -> cost`` with the same
+    batch-rank adaptation as :func:`wrap_dynamics`."""
     if config.step_dependent_dynamics:
-        return running_cost
-    return lambda s, u, t: running_cost(s, u)
+        return _adapt_batch_rank(running_cost)
+    return _adapt_batch_rank(lambda s, u, t: running_cost(s, u))
 
 
 # ---------------------------------------------------------------------------
