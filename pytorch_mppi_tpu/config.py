@@ -76,6 +76,15 @@ class MPPIConfig:
     # (spaced T/nsp steps apart), so the same rho smooths more per timestep
     # than it does on MPPI/SMPPI — retune when switching variants.
     noise_rho: float = 0.0
+    # Diagonal-covariance fast path, detected statically at construction
+    # (mirrors the reference's init-time diag detection, mppi.py:131-139):
+    # the noise correlation reduces to an elementwise lane scale instead of
+    # the kron(I, chol^T) MXU matmul — faster, and bit-identical across
+    # backends (TPU matmuls default to bf16 input precision).  The controller
+    # re-specializes if a setter flips diagonality; tuners (SigmaParameter)
+    # only touch the diagonal, so tuning stays on this path with zero
+    # recompilation.
+    diag_sigma: bool = False
     dtype: Any = jnp.float32
 
     # SMPPI extras (reference mppi.py:451-570). Only read by the SMPPI factory.

@@ -117,6 +117,13 @@ def _validate_rho(noise_rho):
     return float(noise_rho)
 
 
+def _is_diag(sigma) -> bool:
+    """Static diagonality check at construction/setter time (the reference
+    detects diagonal covariance at init, mppi.py:131-139)."""
+    s = np.asarray(sigma)
+    return bool(np.all(s == np.diag(np.diagonal(s))))
+
+
 def _complete_bounds(u_min, u_max, nu, dtype):
     """Symmetric-bound completion + resolve to +-inf clamps (mppi.py:108-126)."""
     if u_max is not None and u_min is None:
@@ -237,6 +244,8 @@ class MPPI:
         self.noise_rho = _validate_rho(noise_rho)
         self.rollout_var_cost = float(rollout_var_cost)
         self.rollout_var_discount = float(rollout_var_discount)
+        # static diag-covariance fast path (reference mppi.py:131-139)
+        self._diag_sigma = _is_diag(sigma)
 
         self._params = MPPIParams(
             noise_mu=noise_mu,
@@ -309,6 +318,7 @@ class MPPI:
             antithetic=self.antithetic_sampling,
             num_iterations=self.num_iterations,
             noise_rho=self.noise_rho,
+            diag_sigma=self._diag_sigma,
             dtype=self.dtype,
         )
 
@@ -364,7 +374,16 @@ class MPPI:
 
     @noise_sigma.setter
     def noise_sigma(self, value):
-        self._params = self._params._replace(noise_sigma=_coerce_sigma(value, self.dtype))
+        sigma = _coerce_sigma(value, self.dtype)
+        diag = _is_diag(sigma)
+        if diag != self._diag_sigma:
+            # diagonality is a static (trace-time) property: re-specialize.
+            # SigmaParameter tuning only touches the diagonal, so this never
+            # fires inside tuning loops.
+            self._diag_sigma = diag
+            self._build_config()
+            self._build_step_fns()
+        self._params = self._params._replace(noise_sigma=sigma)
 
     @property
     def noise_mu(self):
@@ -857,6 +876,7 @@ class MPPI_Batched:
             parameterized_dynamics=dynamics_params is not None,
             antithetic=bool(antithetic_sampling),
             noise_rho=_validate_rho(noise_rho),
+            diag_sigma=_is_diag(sigma),
             dtype=self.dtype,
         )
         self._fns = _solve.make_batched_step(

@@ -76,16 +76,26 @@ def make_fused_rollout(
     config: MPPIConfig,
     dynamics: Callable,  # wrapped: (dyn_params, state, u, t, key) -> next_state
     running_cost: Callable,  # wrapped: (state, u, t) -> cost
+    block_k: int = None,
 ):
     """Build the fused rollout: (x0 (K, nx), u_scaled (T, K, nu)) -> cost (K,).
 
     User dynamics/cost typically close over arrays (goal vectors, B matrices);
     Pallas kernels cannot capture traced constants, so ``jax.closure_convert``
     hoists them into explicit kernel inputs.
+
+    ``block_k`` overrides the K-block heuristic (must be a multiple of 128 and
+    fit the working set in VMEM); ``block_k == K_pad`` runs the whole batch in
+    one grid step — bigger per-dot batches at the cost of DMA/compute overlap.
     """
     K, T, nx, nu = config.K, config.T, config.nx, config.nu
     dtype = config.dtype
-    block_k, K_pad = _block_and_pad(K)
+    if block_k is None:
+        block_k, K_pad = _block_and_pad(K)
+    else:
+        if block_k % 128:
+            raise ValueError(f"block_k={block_k} must be a multiple of 128")
+        K_pad = ((K + block_k - 1) // block_k) * block_k
     nblocks = K_pad // block_k
 
     def _body(state, u, t):
@@ -130,7 +140,10 @@ def make_fused_rollout(
             u_t = u_ref[:, t * nu : (t + 1) * nu]  # static lane slice
             state, c = converted(state, u_t, jnp.int32(t), *cvals)
             total = total + c.reshape(block_k)
-        out_ref[...] = total
+        # 2-D (1, block_k) row layout: XLA's 1-D tiling (T(256)/T(1024) by
+        # length) clashes with Mosaic's T(block) for small K — rows of a 2-D
+        # output have no such tile mismatch
+        out_ref[...] = total.reshape(1, block_k)
 
     fused = pl.pallas_call(
         kernel,
@@ -140,8 +153,8 @@ def make_fused_rollout(
             pl.BlockSpec((block_k, T * nu), lambda i: (i, 0), memory_space=pltpu.VMEM),
             *const_specs,
         ],
-        out_specs=pl.BlockSpec((block_k,), lambda i: (i,), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((K_pad,), dtype),
+        out_specs=pl.BlockSpec((1, block_k), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, K_pad), dtype),
         interpret=_interpret(),
     )
 
@@ -151,7 +164,7 @@ def make_fused_rollout(
         if K_pad != K:
             x0_K = jnp.pad(x0_K, ((0, K_pad - K), (0, 0)))
             u2d = jnp.pad(u2d, ((0, K_pad - K), (0, 0)))
-        return fused(x0_K, u2d, *const_inputs)[:K]
+        return fused(x0_K, u2d, *const_inputs).reshape(K_pad)[:K]
 
     return rollout
 
@@ -175,10 +188,13 @@ def fused_weighted_update(cost_total: jax.Array, noise_flat: jax.Array, lambda_)
         # padded rows: +inf cost -> logits -inf -> weight exactly 0
         cost_total = jnp.pad(cost_total, (0, K_pad - K), constant_values=jnp.inf)
         noise_flat = jnp.pad(noise_flat, ((0, K_pad - K), (0, 0)))
+    # 2-D (1, K_pad) row layout for the cost input: XLA's 1-D tiling clashes
+    # with Mosaic's T(block) for small K (see make_fused_rollout)
+    cost_total = cost_total.reshape(1, K_pad)
 
     def kernel(lam_ref, cost_ref, noise_ref, pert_ref, m_ref, s_ref, acc_ref):
         i = pl.program_id(0)
-        logits = -cost_ref[...] / lam_ref[0]  # (block_k,)
+        logits = -cost_ref[...].reshape(block_k) / lam_ref[0]  # (block_k,)
         blk_m = jnp.max(logits)
 
         @pl.when(i == 0)
@@ -193,7 +209,14 @@ def fused_weighted_update(cost_total: jax.Array, noise_flat: jax.Array, lambda_)
         scale = jnp.exp(m_old - m_new)
         w = jnp.exp(logits - m_new)  # (block_k,)
         s_ref[0] = s_ref[0] * scale + jnp.sum(w)
-        acc_ref[...] = acc_ref[...] * scale + w[None, :] @ noise_ref[...]
+        # HIGHEST precision: the (1, block)@(block, D) matvec is negligible
+        # next to the HBM read of the noise block, and bf16 inputs would cost
+        # ~0.2% on the final update
+        acc_ref[...] = acc_ref[...] * scale + jnp.dot(
+            w[None, :], noise_ref[...],
+            preferred_element_type=noise_ref.dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         m_ref[0] = m_new
 
         @pl.when(i == nblocks - 1)
@@ -205,7 +228,7 @@ def fused_weighted_update(cost_total: jax.Array, noise_flat: jax.Array, lambda_)
         grid=(nblocks,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # lambda (1,)
-            pl.BlockSpec((block_k,), lambda i: (i,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k), lambda i: (0, i), memory_space=pltpu.VMEM),
             pl.BlockSpec((block_k, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -244,20 +267,27 @@ def key_to_seed(key):
     return jax.lax.bitcast_convert_type(kd, jnp.int32)
 
 
-def _bits_to_normal(bits):
+def _bits_to_normal(bits, use_pltpu=None):
     """int32 random bits -> standard normal, entirely on the VPU.
 
     Exponent trick: logical-shift the 23 high mantissa bits into a float in
     [1, 2), subtract 1 for U[0, 1), then invert the Gaussian CDF with
     ``erf_inv`` (the same map ``jax.random.normal`` uses).  A half-ulp offset
     keeps u strictly inside (0, 1) so erf_inv never hits +-inf.
+
+    ``use_pltpu`` selects the bitcast implementation: ``pltpu.bitcast`` only
+    lowers inside compiled Mosaic kernels, ``lax.bitcast_convert_type``
+    everywhere else (interpret mode, plain jit) — default: compiled-kernel
+    context assumed when the backend is TPU.
     """
     mant = jax.lax.shift_right_logical(bits, jnp.int32(9))
     fbits = jax.lax.bitwise_or(mant, jnp.int32(0x3F800000))
-    if _interpret():  # pltpu.bitcast has no interpret-mode rule
-        f = jax.lax.bitcast_convert_type(fbits, jnp.float32)
-    else:
+    if use_pltpu is None:
+        use_pltpu = not _interpret()
+    if use_pltpu:
         f = pltpu.bitcast(fbits, jnp.float32)
+    else:
+        f = jax.lax.bitcast_convert_type(fbits, jnp.float32)
     u = f - 1.0 + jnp.float32(2.0**-24)
     return jnp.float32(1.4142135623730951) * jax.lax.erf_inv(2.0 * u - 1.0)
 
@@ -359,7 +389,13 @@ def make_fused_solve(
         # correlate per-timestep nu-vectors: z2 @ kron(I_T, chol^T) == blockwise
         # z[:, t*nu:(t+1)*nu] @ chol^T; nu is tiny so do it as nu column slices
         # of an MXU matmul against the (D, D) block-diagonal operator.
-        noise = jnp.dot(z, C_ref[...], preferred_element_type=dtype) + mu_ref[...]
+        # HIGHEST precision: default MXU input precision is bf16 (~0.4% noise
+        # error, which the quadratic costs double); this one matmul is a
+        # negligible share of the kernel.
+        noise = jnp.dot(
+            z, C_ref[...], preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        ) + mu_ref[...]
 
         U_flat = U_ref[...]  # (1, D)
         perturbed = U_flat + noise
@@ -410,7 +446,8 @@ def make_fused_solve(
         w = jnp.exp(logits - m_new)
         s_ref[0] = s_ref[0] * scale + jnp.sum(w)
         acc_ref[...] = acc_ref[...] * scale + jnp.dot(
-            w.reshape(1, block_k), noise, preferred_element_type=dtype
+            w.reshape(1, block_k), noise, preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST,
         )
         m_ref[0] = m_new
 

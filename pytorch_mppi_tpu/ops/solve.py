@@ -110,7 +110,7 @@ def ar1_mixing(reps: int, rho: float, dtype) -> jax.Array:
 
 def sample_noise_flat(key: jax.Array, K: int, reps: int, params: MPPIParams, dtype,
                       antithetic: bool = False, chol=None,
-                      noise_rho: float = 0.0) -> jax.Array:
+                      noise_rho: float = 0.0, diag_sigma: bool = False) -> jax.Array:
     """Draw N(mu, Sigma) control noise in flat lane-dense ``(K, reps*nu)`` layout.
 
     Equivalent to ``sample_noise(key, (K, reps), ...)`` reshaped row-major:
@@ -122,6 +122,13 @@ def sample_noise_flat(key: jax.Array, K: int, reps: int, params: MPPIParams, dty
     blocks contribute exactly nothing, so the result is bit-identical for
     diagonal covariance and within one FMA rounding (dot-product association)
     for full covariance.
+
+    With ``diag_sigma`` (the controller detects diagonality statically at
+    construction, mirroring the reference's init-time fast path,
+    mppi.py:131-139) and white noise, the correlation reduces to an
+    elementwise scale: no MXU pass at all, and — unlike the matmul, which TPUs
+    run at bf16 input precision by default — **bit-identical across
+    backends**.
     """
     nu = params.noise_mu.shape[-1]
     if chol is None:
@@ -134,6 +141,10 @@ def sample_noise_flat(key: jax.Array, K: int, reps: int, params: MPPIParams, dty
         z2 = jnp.concatenate([z_half, -z_half], axis=0)[:K]
     else:
         z2 = jax.random.normal(key, (K, reps * nu), dtype)
+    if diag_sigma and not noise_rho:
+        # the chol of a diagonal sigma is diag(sqrt): scale lanes elementwise
+        scale = jnp.tile(jnp.diagonal(chol).astype(dtype), reps)
+        return z2 * scale + jnp.tile(params.noise_mu, reps)
     if noise_rho:
         # temporal AR(1) correlation folds into the same mixing operator:
         # noise[k, t] = sum_s A[t, s] (z[k, s] @ chol^T).  In the row-vector
@@ -460,7 +471,7 @@ def make_mppi_step(
         chol, sigma_inv = _sigma_factors(params.noise_sigma)
         noise2 = sample_noise_flat(
             k_noise, K, T, params, dtype, antithetic=config.antithetic, chol=chol,
-            noise_rho=config.noise_rho,
+            noise_rho=config.noise_rho, diag_sigma=config.diag_sigma,
         )
         noise2 = cset(noise2, sample_axis)
         U2 = U.reshape(D)
@@ -637,7 +648,7 @@ def make_smppi_step(
         chol, sigma_inv = _sigma_factors(base.noise_sigma)
         noise2 = sample_noise_flat(
             k_noise, K, T, base, dtype, antithetic=config.antithetic, chol=chol,
-            noise_rho=config.noise_rho,
+            noise_rho=config.noise_rho, diag_sigma=config.diag_sigma,
         )
         noise2 = cset(noise2, sample_axis)
         U2 = U.reshape(D)
@@ -768,7 +779,7 @@ def make_kmppi_step(
         chol, sigma_inv = _sigma_factors(base.noise_sigma)
         noise_theta2 = sample_noise_flat(
             k_noise, K, nsp, base, dtype, antithetic=config.antithetic, chol=chol,
-            noise_rho=config.noise_rho,
+            noise_rho=config.noise_rho, diag_sigma=config.diag_sigma,
         )
         noise_theta2 = cset(noise_theta2, sample_axis)
         theta2 = theta.reshape(Dp)
@@ -888,7 +899,7 @@ def make_batched_step(
         chol, sigma_inv = _sigma_factors(params.noise_sigma)
         noise2 = sample_noise_flat(
             k_noise, K, T, params, dtype, antithetic=config.antithetic, chol=chol,
-            noise_rho=config.noise_rho,
+            noise_rho=config.noise_rho, diag_sigma=config.diag_sigma,
         )  # (K, D)
         noise2 = cset(noise2, kax)
         U2 = U.reshape(N, D)

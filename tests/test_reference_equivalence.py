@@ -120,7 +120,7 @@ def _patch_ours(monkeypatch, noise_bank):
         return z @ chol.T + params.noise_mu
 
     def fake_sample_noise_flat(key, K, reps, params, dtype, antithetic=False,
-                               chol=None, noise_rho=0.0):
+                               chol=None, noise_rho=0.0, diag_sigma=False):
         # same bank draw the reference requests as (K, reps, nu), flattened
         # row-major — mirrors the real sample_noise_flat's layout contract
         return fake_sample_noise(key, (K, reps), params, dtype).reshape(

@@ -182,6 +182,47 @@ np.save({os.path.join(tmp_path, "action.npy")!r}, np.asarray(a))
             checkpoint.load_controller(path, other)
 
 
+class TestViz:
+    def test_gif_recorder_and_colored_rollouts(self, tmp_path):
+        """Headless gif recording of rollout evolution (reference parity:
+        smooth_mppi.py:265-285 records evolution frames to gifs)."""
+        matplotlib = pytest.importorskip("matplotlib")
+        matplotlib.use("Agg")
+        from matplotlib import pyplot as plt
+
+        from pytorch_mppi_tpu.utils.viz import GifRecorder, draw_rollouts_colored
+
+        fig, ax = plt.subplots(figsize=(2, 2))
+        rec = GifRecorder(fig)
+        rng = np.random.RandomState(0)
+        for _ in range(3):
+            rollouts = np.cumsum(rng.randn(5, 8, 2), axis=1)
+            artists = draw_rollouts_colored(
+                ax, np.zeros(2), rollouts, np.arange(5.0))
+            rec.capture()
+            for a in artists:
+                a.remove()
+        path = rec.save(os.path.join(tmp_path, "evo.gif"), fps=4)
+        from PIL import Image
+
+        with Image.open(path) as im:
+            assert im.format == "GIF"
+            assert getattr(im, "n_frames", 1) == 3
+        plt.close(fig)
+
+    def test_gif_recorder_empty_raises(self, tmp_path):
+        matplotlib = pytest.importorskip("matplotlib")
+        matplotlib.use("Agg")
+        from matplotlib import pyplot as plt
+
+        from pytorch_mppi_tpu.utils.viz import GifRecorder
+
+        fig, _ = plt.subplots()
+        with pytest.raises(ValueError):
+            GifRecorder(fig).save(os.path.join(tmp_path, "x.gif"))
+        plt.close(fig)
+
+
 class TestPallasPath:
     """use_pallas correctness on CPU (interpreter mode) vs the scan path."""
 
@@ -344,6 +385,45 @@ class TestFusedSolveKernel:
         np.testing.assert_array_equal(n3, n2)
         n3, n2 = draw(jnp.array([[1.0, 0.3], [0.3, 0.5]], DT))
         np.testing.assert_allclose(n3, n2, rtol=1e-6, atol=1e-6)
+
+    def test_diag_fast_path_bitwise_on_cpu(self):
+        """The static diag-sigma fast path (elementwise lane scale) draws
+        BIT-identical noise to the kron-matmul path on CPU: the matmul's
+        off-diagonal products are exact zeros, so both reduce to x*sqrt(d)."""
+        import jax
+
+        from pytorch_mppi_tpu.config import MPPIParams
+        from pytorch_mppi_tpu.ops import solve as S
+
+        DT = jnp.float32
+        p = MPPIParams(
+            noise_mu=jnp.array([0.1, -0.2], DT),
+            noise_sigma=jnp.diag(jnp.array([0.5, 2.0], DT)),
+            lambda_=jnp.asarray(1.0, DT),
+            u_min=jnp.full((2,), -jnp.inf, DT),
+            u_max=jnp.full((2,), jnp.inf, DT),
+            u_init=jnp.zeros(2, DT),
+        )
+        key = jax.random.PRNGKey(7)
+        z_diag = S.sample_noise_flat(key, 64, 5, p, DT, diag_sigma=True)
+        z_mat = S.sample_noise_flat(key, 64, 5, p, DT, diag_sigma=False)
+        np.testing.assert_array_equal(np.asarray(z_diag), np.asarray(z_mat))
+
+    def test_diag_detection_respecializes(self):
+        """Setting a non-diagonal sigma on a diag-built controller flips the
+        static fast path and re-specializes; setting a diagonal one back
+        reuses the cached solver."""
+        ctrl = _ctrl()
+        assert ctrl.config.diag_sigma
+        fns_diag = ctrl._fns
+        ctrl.noise_sigma = jnp.array([[1.0, 0.3], [0.3, 0.5]], DTYPE)
+        assert not ctrl.config.diag_sigma
+        assert ctrl._fns is not fns_diag
+        a = ctrl.command(jnp.zeros(2, DTYPE))
+        assert np.isfinite(np.asarray(a)).all()
+        ctrl.noise_sigma = jnp.eye(2, dtype=DTYPE)
+        assert ctrl.config.diag_sigma
+        assert ctrl._fns is fns_diag  # cache hit
 
     def test_bits_to_normal_is_standard_normal(self):
         import jax
