@@ -49,7 +49,11 @@ def main():
         dx = goal - state
         return (dx**2).sum(axis=-1)
 
-    config = MPPIConfig(nx=NX, nu=NU, K=K, T=T, dtype=DTYPE)
+    # diag_sigma: the controller detects diagonality statically (sigma here is
+    # identity); matches the production path and skips the kron matmul
+    config = MPPIConfig(nx=NX, nu=NU, K=K, T=T, dtype=DTYPE, diag_sigma=True)
+    config_anti = MPPIConfig(nx=NX, nu=NU, K=K, T=T, dtype=DTYPE,
+                             diag_sigma=True, antithetic=True)
 
     params = MPPIParams(
         noise_mu=jnp.zeros(NU, DTYPE),
@@ -60,9 +64,9 @@ def main():
         u_init=jnp.zeros(NU, DTYPE),
     )
 
-    def build_closed_loop(use_pallas):
+    def build_closed_loop(use_pallas, cfg=config):
         fns = S.make_mppi_step(
-            config, dynamics, running_cost, jit=False, use_pallas=use_pallas
+            cfg, dynamics, running_cost, jit=False, use_pallas=use_pallas
         )
 
         @jax.jit
@@ -117,11 +121,17 @@ def main():
     results = {}
     # variants: (name, use_pallas, prng_impl) — sampling is ~80% of a K=10k
     # solve with threefry; rbg is ~3x faster on TPU
-    variants = [("xla", False, None), ("xla+rbg", False, "rbg")]
+    # antithetic: K/2 mirrored draws — a legitimate MPPI variance-reduction
+    # variant (quality sanity below still applies); halves the RNG cost
+    variants = [
+        ("xla", False, None, config),
+        ("xla+rbg", False, "rbg", config),
+        ("xla+rbg+antithetic", False, "rbg", config_anti),
+    ]
     if dev.platform != "cpu":
-        variants.append(("pallas", True, None))
-    for name, use_pallas, impl in variants:
-        closed_loop = build_closed_loop(use_pallas)
+        variants.append(("pallas", True, None, config))
+    for name, use_pallas, impl, cfg in variants:
+        closed_loop = build_closed_loop(use_pallas, cfg)
         ctrl_state = make_state(impl)
         t0 = time.perf_counter()
         out = np.asarray(closed_loop(params, ctrl_state, x0))
