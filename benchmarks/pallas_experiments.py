@@ -71,7 +71,7 @@ def make_transposed_solve(BK: int, mode: str = "rng"):
                 fb = jax.lax.bitwise_or(mant, jnp.int32(0x3F800000))
                 z = pltpu.bitcast(fb, jnp.float32) * 2.0 - 3.0
             else:
-                z = PR._bits_to_normal(bits, use_pltpu=True)
+                z = PR._bits_to_normal(bits, use_pltpu=not PR._interpret())
         noise = z * scale_ref[...] + mu_ref[...]      # (D,1) bcast over lanes
         U_col = U_ref[...]
         perturbed = jnp.clip(U_col + noise, lo_ref[...], hi_ref[...])

@@ -45,6 +45,15 @@ class EvaluationResult(typing.NamedTuple):
     iteration: int = None
 
 
+_VMAPPABLE_PARAMS = frozenset({"sigma", "mu", "lambda"})
+
+
+def vmappable_subset(param_values: dict) -> dict:
+    """The array-valued (sigma/mu/lambda) slice of a param-value dict — the
+    part :class:`PopulationEvaluator` can batch on a leading vmap axis."""
+    return {k: v for k, v in param_values.items() if k in _VMAPPABLE_PARAMS}
+
+
 # ---------------------------------------------------------------------------
 # Native CMA-ES (replaces the `cma` package dependency, reference autotune.py:13,51-84)
 # ---------------------------------------------------------------------------
@@ -213,9 +222,7 @@ class CMAESOpt(Optimizer):
         # re-evaluate the best (reference autotune.py:81-84)
         best_values = self.tuner.unflatten_params(self.optim.best.x)
         if pop_fn is not None:
-            res = pop_fn(
-                [{k: v for k, v in best_values.items() if k in _VMAPPABLE_PARAMS}]
-            )
+            res = pop_fn([vmappable_subset(best_values)])
             return res._replace(costs=res.costs.reshape(-1))
         return self.tuner.evaluate_fn()
 
@@ -401,9 +408,11 @@ class PopulationEvaluator:
     dispatch with zero recompilation.
 
     Supports the array-valued MPPIParams leaves (:class:`SigmaParameter`
-    diagonal, :class:`MuParameter`, :class:`LambdaParameter`).
-    :class:`HorizonParameter` changes shapes and cannot be vmapped — keep it
-    out of the population or wrap an outer per-horizon loop.
+    diagonal, :class:`MuParameter`, :class:`LambdaParameter`) on all three
+    controller variants (MPPI/SMPPI/KMPPI — variant-specific params and
+    state fields ride along unbatched).  :class:`HorizonParameter` changes
+    shapes and cannot be vmapped — :func:`evaluate_population` wraps the
+    outer per-shape loop for the optimizers.
 
     Protocol (mirrors ``examples/auto_tune_parameters.py`` / reference
     auto_tune_parameters.py:256-276): every candidate starts from the SAME
@@ -434,11 +443,12 @@ class PopulationEvaluator:
         self.M = int(num_trajectories)
         self._key = jax.random.PRNGKey(seed)
         self._rollout_cost_fn = rollout_cost_fn
-        # jitted population evaluator, rebuilt if the controller re-specializes
-        # (horizon change swaps mppi._fns); U_nom/dyn_params are TRACED args so
-        # reassignment between generations is always honored
-        self._eval_pop = None
-        self._built_for = None
+        # jitted population evaluators, cached PER solver bundle: a horizon
+        # sweep toggles mppi._fns between cached configs, and each must keep
+        # its own compiled evaluator (a single slot would retrace every flip);
+        # U_nom/dyn_params are TRACED args so reassignment between
+        # generations is always honored
+        self._eval_cache: dict = {}
 
     def _default_cost_fn(self):
         from .ops.solve import wrap_cost
@@ -450,36 +460,66 @@ class PopulationEvaluator:
 
         return rollout_cost_fn
 
+    def _full_params_and_axes(self, batched_base):
+        """Wrap the candidate-batched base MPPIParams into the controller's
+        full params structure (SMPPI/KMPPI add extra non-tuned fields), plus
+        the matching vmap in_axes pytree: 0 on the base leaves (candidate
+        axis), None on everything else."""
+        if not hasattr(self.mppi, "_full_params"):
+            return batched_base, 0
+        full = self.mppi._full_params()
+        params = full._replace(base=batched_base)
+        axes = type(full)(**{
+            f: (jax.tree_util.tree_map(lambda _: 0, full.base)
+                if f == "base" else None)
+            for f in full._fields
+        })
+        return params, axes
+
     def _build(self):
         fns = self.mppi._fns
         cost_fn = self._rollout_cost_fn or self._default_cost_fn()
         start, R = self.start, self.R
 
-        def one_traj(params, key, U_nom, dyn_params):
-            state = MPPIState(U=U_nom, key=key)
+        def one_traj(params, key, U_nom, state_template, dyn_params):
+            # re-center the controller-state template (MPPIState, or the
+            # SMPPI/KMPPI variants with their extra fields) on the shared
+            # nominal trajectory and this trajectory's key
+            state = state_template._replace(U=U_nom, key=key)
 
             def body(s, _):
                 s2, _, _ = fns.step_no_shift(params, s, start, None, dyn_params)
                 return s2, None
 
             state, _ = jax.lax.scan(body, state, None, length=R)
-            rollout = fns.get_rollouts(params, start, state.U,
+            base = params.base if hasattr(params, "base") else params
+            # the executed plan: SMPPI commands its integrated action_sequence,
+            # not the rate-space U (reference mppi.py:520-537)
+            seq = getattr(state, "action_sequence", state.U)
+            rollout = fns.get_rollouts(base, start, seq,
                                        dyn_params=dyn_params)[0]
-            return cost_fn(rollout, state.U), rollout
+            return cost_fn(rollout, seq), rollout
 
-        def eval_candidate(params, keys, U_nom, dyn_params):  # keys: (M,)
-            costs, rollouts = jax.vmap(one_traj, in_axes=(None, 0, None, None))(
-                params, keys, U_nom, dyn_params
-            )
+        def eval_candidate(params, keys, U_nom, state_template, dyn_params):
+            # keys: (M,)
+            costs, rollouts = jax.vmap(
+                one_traj, in_axes=(None, 0, None, None, None)
+            )(params, keys, U_nom, state_template, dyn_params)
             return jnp.mean(costs), rollouts[0]
 
-        # candidates on axis 0 of the params pytree AND of the key batch
-        self._eval_pop = jax.jit(
-            jax.vmap(eval_candidate, in_axes=(0, 0, None, None))
-        )
-        self._built_for = fns
+        def eval_pop(params, param_axes, keys, U_nom, state_template, dyn_params):
+            # candidates on axis 0 of the base-params leaves AND the key batch
+            return jax.vmap(
+                lambda p, k: eval_candidate(p, k, U_nom, state_template,
+                                            dyn_params),
+                in_axes=(param_axes, 0),
+            )(params, keys)
 
-    _SUPPORTED = frozenset({"sigma", "mu", "lambda"})
+        jitted = jax.jit(eval_pop, static_argnums=(1,))
+        self._eval_cache[fns] = jitted
+        return jitted
+
+    _SUPPORTED = _VMAPPABLE_PARAMS
 
     def _batch_params(self, param_dicts):
         base = self.mppi._params
@@ -519,8 +559,9 @@ class PopulationEvaluator:
         )
 
     def __call__(self, param_dicts) -> EvaluationResult:
-        if self._eval_pop is None or self._built_for is not self.mppi._fns:
-            self._build()  # first call, or the controller re-specialized
+        eval_pop = self._eval_cache.get(self.mppi._fns)
+        if eval_pop is None:
+            eval_pop = self._build()  # first call with this solver bundle
         P = len(param_dicts)
         self._key, sub = jax.random.split(self._key)
         # (P, M) keys: split per candidate, then per trajectory (typed keys
@@ -528,14 +569,13 @@ class PopulationEvaluator:
         keys = jax.vmap(lambda k: jax.random.split(k, self.M))(
             jax.random.split(sub, P)
         )
-        batched = self._batch_params(param_dicts)
-        costs, rollouts = self._eval_pop(
-            batched, keys, self.mppi.U, self.mppi.dynamics_params
+        batched_base = self._batch_params(param_dicts)
+        params, axes = self._full_params_and_axes(batched_base)
+        costs, rollouts = eval_pop(
+            params, axes, keys, self.mppi.U, self.mppi._state,
+            self.mppi.dynamics_params,
         )
         return EvaluationResult(costs, rollouts)
-
-
-_VMAPPABLE_PARAMS = frozenset({"sigma", "mu", "lambda"})
 
 
 def evaluate_population(tuner, pop_fn, param_values_list):
@@ -545,27 +585,40 @@ def evaluate_population(tuner, pop_fn, param_values_list):
     shape-changing parameters (horizon) are grouped by value and applied as an
     outer loop, one vmapped dispatch per distinct shape.
 
+    Every value is validated through its parameter's ``ensure_valid_value``
+    (the same clipping the sequential apply path performs), and shape params
+    group by their EFFECTIVE applied value — e.g. KMPPI clamps horizons below
+    ``num_support_pts``, so candidates that resolve to the same shape share
+    one dispatch and are scored at the shape that actually ran.
+
     :returns: (P,) numpy array of mean costs aligned with the input list.
     """
     by_name = {p.name(): p for p in tuner.params}
     shape_names = [n for n in by_name if n not in _VMAPPABLE_PARAMS]
     costs = np.full(len(param_values_list), np.nan)
 
-    def group_key(pv):
-        # validate first (e.g. horizon rounds to int) so candidates that
-        # resolve to the same shape share one dispatch
-        return tuple(by_name[n].ensure_valid_value(pv[n]) for n in shape_names)
+    def effective_key(pv):
+        # apply, then read back: controllers may clamp further than
+        # ensure_valid_value (KMPPI horizon >= num_support_pts); re-applies of
+        # an unchanged shape are cheap (the controller caches solvers per config)
+        for n in shape_names:
+            by_name[n].apply_parameter_value(pv[n])
+        return tuple(by_name[n].get_current_parameter_value() for n in shape_names)
 
     groups: dict = {}
     for i, pv in enumerate(param_values_list):
-        groups.setdefault(group_key(pv), []).append(i)
+        groups.setdefault(effective_key(pv), []).append(i)
     for key, idxs in groups.items():
         for n, v in zip(shape_names, key):
             by_name[n].apply_parameter_value(v)
-        dicts = [
-            {k: v for k, v in param_values_list[i].items() if k in _VMAPPABLE_PARAMS}
-            for i in idxs
-        ]
+        dicts = []
+        for i in idxs:
+            # validate vmappable values exactly like the sequential path does
+            # (eps-clip sigma/lambda, coerce mu) before they reach cholesky
+            dicts.append({
+                k: by_name[k].ensure_valid_value(v)
+                for k, v in vmappable_subset(param_values_list[i]).items()
+            })
         res = pop_fn(dicts)
         costs[np.asarray(idxs)] = np.asarray(res.costs, dtype=np.float64).reshape(-1)
     return costs

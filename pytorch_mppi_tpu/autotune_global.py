@@ -274,10 +274,7 @@ class GlobalSearchOpt(autotune.Optimizer):
             # land on the best seen so far (greedy) and re-evaluate it
             best_values = self.tuner.config_to_params(self.best_config)
             self.tuner.apply_parameters(best_values)
-            res = pop_fn([
-                {k: v for k, v in best_values.items()
-                 if k in autotune._VMAPPABLE_PARAMS}
-            ])
+            res = pop_fn([autotune.vmappable_subset(best_values)])
             return res._replace(costs=res.costs.reshape(-1))
 
         best_res = None

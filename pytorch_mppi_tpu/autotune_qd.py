@@ -141,10 +141,7 @@ class CMAMEOpt(autotune.Optimizer):
         best = self.archive.best_elite
         best_values = self.tuner.unflatten_params(best.solution)
         if pop_fn is not None:
-            res = pop_fn([
-                {k: v for k, v in best_values.items()
-                 if k in autotune._VMAPPABLE_PARAMS}
-            ])
+            res = pop_fn([autotune.vmappable_subset(best_values)])
             return res._replace(costs=res.costs.reshape(-1))
         return self.tuner.evaluate_fn()
 

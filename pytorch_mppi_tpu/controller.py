@@ -813,6 +813,7 @@ class MPPI_Batched:
         num_samples: int = 100,
         horizon: int = 15,
         device=None,
+        terminal_state_cost: Optional[Callable] = None,
         lambda_: float = 1.0,
         noise_mu=None,
         u_min=None,
@@ -824,6 +825,7 @@ class MPPI_Batched:
         noise_abs_cost: bool = False,
         stochastic_dynamics: bool = False,
         antithetic_sampling: bool = False,
+        num_iterations: int = 1,
         noise_rho: float = 0.0,
         dynamics_params=None,
         seed: Optional[int] = 0,
@@ -875,12 +877,15 @@ class MPPI_Batched:
             stochastic_dynamics=bool(stochastic_dynamics),
             parameterized_dynamics=dynamics_params is not None,
             antithetic=bool(antithetic_sampling),
+            num_iterations=int(num_iterations),
             noise_rho=_validate_rho(noise_rho),
             diag_sigma=_is_diag(sigma),
             dtype=self.dtype,
         )
+        self.terminal_state_cost = terminal_state_cost
         self._fns = _solve.make_batched_step(
             self.config, self.N, dynamics, running_cost,
+            terminal_state_cost=terminal_state_cost,
             mesh=mesh, env_axis=env_axis, sample_axis=sample_axis,
         )
         if key is None:
@@ -891,6 +896,7 @@ class MPPI_Batched:
         )
         self.cost_total = None
         self.omega = None
+        self.states = None
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -944,4 +950,7 @@ class MPPI_Batched:
         self._state = new_state
         self.cost_total = artifacts.cost_total
         self.omega = artifacts.omega
+        # (N, K, T, nx) candidate rollouts; None without a terminal cost
+        # (lazy-storage contract, as in the single-plant controller)
+        self.states = artifacts.states
         return action

@@ -277,13 +277,14 @@ def _bits_to_normal(bits, use_pltpu=None):
 
     ``use_pltpu`` selects the bitcast implementation: ``pltpu.bitcast`` only
     lowers inside compiled Mosaic kernels, ``lax.bitcast_convert_type``
-    everywhere else (interpret mode, plain jit) — default: compiled-kernel
-    context assumed when the backend is TPU.
+    everywhere else (interpret mode, plain jit/XLA — the safe DEFAULT, so
+    callers outside a kernel never hit a lowering error on the TPU backend);
+    compiled-kernel bodies pass ``use_pltpu=not _interpret()`` explicitly.
     """
     mant = jax.lax.shift_right_logical(bits, jnp.int32(9))
     fbits = jax.lax.bitwise_or(mant, jnp.int32(0x3F800000))
     if use_pltpu is None:
-        use_pltpu = not _interpret()
+        use_pltpu = False
     if use_pltpu:
         f = pltpu.bitcast(fbits, jnp.float32)
     else:
@@ -385,7 +386,7 @@ def make_fused_solve(
             bits = pltpu.prng_random_bits((block_k, D))
         else:
             bits = bits_ref[...]
-        z = _bits_to_normal(bits)  # (block_k, D)
+        z = _bits_to_normal(bits, use_pltpu=not _interpret())  # (block_k, D)
         # correlate per-timestep nu-vectors: z2 @ kron(I_T, chol^T) == blockwise
         # z[:, t*nu:(t+1)*nu] @ chol^T; nu is tiny so do it as nu column slices
         # of an MXU matmul against the (D, D) block-diagonal operator.

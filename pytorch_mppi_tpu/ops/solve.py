@@ -861,6 +861,7 @@ def make_batched_step(
     num_envs: int,
     dynamics: Callable,
     running_cost: Callable,
+    terminal_state_cost: Optional[Callable] = None,
     jit: bool = True,
     mesh=None,
     env_axis: str = "data",
@@ -872,11 +873,20 @@ def make_batched_step(
     flattens (N, K) -> N·K for a single flat-batch dynamics call (mppi.py:844-853);
     weighting is an independent softmax per plant along K (mppi.py:860-868).
 
+    ``terminal_state_cost(states (N, K, T, nx), actions (N, K, T, nu)) ->
+    (N, K)`` extends the reference (whose batched controller has no terminal
+    cost, SURVEY.md §2.1 C15); rollout storage follows the same lazy contract
+    as the single-plant solver.
+
     This is the scenario-batch component that shards across a device mesh: with only
     N sharded over ``env_axis`` the solve is embarrassingly parallel (SURVEY.md §3.4);
     optionally K also shards over ``sample_axis`` (pod-scale config: 1024 plants x
     K=16k), in which case XLA inserts the per-plant min/sum reductions over ICI.
     """
+    if config.num_iterations < 1:
+        raise ValueError(
+            f"config.num_iterations must be >= 1, got {config.num_iterations}"
+        )
     dyn = wrap_dynamics(config, dynamics)
     cost = wrap_cost(config, running_cost)
     dtype = config.dtype
@@ -891,9 +901,21 @@ def make_batched_step(
         if shift:
             U = jnp.roll(U, -1, axis=1).at[:, -1].set(params.u_init)
         U = cset(U, env_axis)
-        key, k_noise, k_roll = jax.random.split(state.key, 3)
-
+        key = state.key
         x0 = jnp.asarray(x0, dtype)  # (N, nx)
+
+        # optimization iterations per command (see make_mppi_step): re-center
+        # the shared-noise sampling on every plant's updated nominal sequence
+        for _ in range(config.num_iterations):
+            key, k_noise, k_roll = jax.random.split(key, 3)
+            U, artifacts = _one_iteration(params, U, x0, k_noise, k_roll, dyn_params)
+
+        action = U[:, : config.u_per_command]
+        if config.u_per_command == 1:
+            action = action[:, 0]
+        return BatchedState(U=U, key=key), action, artifacts
+
+    def _one_iteration(params, U, x0, k_noise, k_roll, dyn_params):
         # flat (·, T·nu) lane-dense layout (see make_mppi_step); noise is
         # sampled once and shared across envs (mppi.py:837-838)
         chol, sigma_inv = _sigma_factors(params.noise_sigma)
@@ -921,18 +943,29 @@ def make_batched_step(
             else jnp.zeros((T, 1), dtype=jnp.uint32)
         )
 
+        store = terminal_state_cost is not None
+
         def body(carry, inp):
             s, c_tot = carry
             u_t, t, k_t = inp
             s = dyn(dyn_params, s, u_t, t, k_t)
             c = cost(s, u_t, t).reshape(N, K)
-            return (s, c_tot + c), None
+            ys = s.reshape(N, K, -1)[..., :nx] if store else None
+            return (s, c_tot + c), ys
 
-        (_, cost_total), _ = lax.scan(
+        (_, cost_total), ys = lax.scan(
             body,
             (state0, jnp.zeros((N, K), dtype)),
             (u_scaled, jnp.arange(T), step_keys),
         )
+
+        states = None
+        if store:
+            # (T, N, K, nx) -> (N, K, T, nx), same layout convention as the
+            # single-plant path (reference mppi.py:309-310)
+            states = jnp.moveaxis(ys, 0, 2)
+            tc = jnp.asarray(terminal_state_cost(states, perturbed), dtype)
+            cost_total = cost_total + tc.reshape(N, K)
 
         # per-env action cost folded to one (N,K,D)·(N,D) contraction
         a2 = (params.lambda_ * jnp.einsum("ntu,vu->ntv", U, sigma_inv)).reshape(N, D)
@@ -948,19 +981,16 @@ def make_batched_step(
         )
         U_new = U + perturbations
 
-        action = U_new[:, : config.u_per_command]
-        if config.u_per_command == 1:
-            action = action[:, 0]
         artifacts = Artifacts(
             cost_total=total_cost,
             cost_total_non_zero=cost_total_non_zero,
             omega=omega,
             noise=actual_noise2.reshape(N, K, T, nu),
             perturbed_action=perturbed,
-            states=None,
+            states=states,
             actions=None,
         )
-        return BatchedState(U=U_new, key=key), action, artifacts
+        return U_new, artifacts
 
     def step(params, state, x0, dyn_params=None):
         return _solve(params, state, x0, shift=True, dyn_params=dyn_params)

@@ -197,8 +197,16 @@ def save_controller(path: str, ctrl):
 
 def load_controller(path: str, ctrl):
     """Resume a controller from :func:`save_controller` output.  The controller
-    must be constructed with the same configuration (shapes must match)."""
+    must be constructed with the same configuration (same class, same shapes)."""
     snap = load(path)
+    want_def = jax.tree_util.tree_structure(snapshot(ctrl))
+    got_def = jax.tree_util.tree_structure(snap)
+    if got_def != want_def:
+        raise ValueError(
+            f"checkpoint structure {got_def} does not match the controller's "
+            f"{want_def} — was it saved from the same controller class "
+            f"(MPPI/SMPPI/KMPPI) and configuration?"
+        )
     for got, want in zip(
         jax.tree_util.tree_leaves(snap), jax.tree_util.tree_leaves(snapshot(ctrl))
     ):

@@ -406,6 +406,126 @@ class TestPopulationEvaluator:
         # zero refinement steps: the rollout is of U itself, so it must move
         assert not np.allclose(np.asarray(r1.rollouts), np.asarray(r2.rollouts))
 
+    def test_smppi_controller_supported(self):
+        """The evaluator batches variant controllers too: SMPPI's extra
+        params/state fields ride along unbatched, and scoring rolls out the
+        integrated action_sequence (not the rate-space U)."""
+        from pytorch_mppi_tpu import SMPPI
+
+        env = Toy2DEnvironment(terminal_scale=10.0, dtype=DTYPE)
+        mppi = SMPPI(
+            env.dynamics, env.running_cost, 2,
+            noise_sigma=jnp.diag(jnp.array([5.0, 5.0], DTYPE)),
+            num_samples=64, horizon=8, w_action_seq_cost=10.0,
+            u_max=jnp.array([2.0, 2.0], DTYPE),
+            action_max=jnp.array([2.0, 2.0], DTYPE), lambda_=1.0, seed=SEED,
+        )
+        ev = autotune.PopulationEvaluator(
+            mppi, env.start, num_refinement_steps=3, num_trajectories=2
+        )
+        res = ev([{"sigma": jnp.array([5.0, 5.0])},
+                  {"sigma": jnp.array([0.5, 0.5]), "lambda": 0.7}])
+        assert res.costs.shape == (2,)
+        assert res.rollouts.shape == (2, 8, 2)
+        assert np.isfinite(np.asarray(res.costs)).all()
+
+    def test_kmppi_controller_supported(self):
+        from pytorch_mppi_tpu import KMPPI
+
+        env = Toy2DEnvironment(terminal_scale=10.0, dtype=DTYPE)
+        mppi = KMPPI(
+            env.dynamics, env.running_cost, 2,
+            noise_sigma=jnp.diag(jnp.array([5.0, 5.0], DTYPE)),
+            num_samples=64, horizon=10, num_support_pts=4,
+            u_max=jnp.array([2.0, 2.0], DTYPE), lambda_=1.0, seed=SEED,
+        )
+        ev = autotune.PopulationEvaluator(
+            mppi, env.start, num_refinement_steps=3, num_trajectories=2
+        )
+        res = ev([{"sigma": jnp.array([5.0, 5.0])},
+                  {"mu": jnp.array([0.1, -0.1])}])
+        assert res.costs.shape == (2,)
+        assert np.isfinite(np.asarray(res.costs)).all()
+
+    def test_eval_cache_per_solver_bundle(self):
+        """Horizon toggling must not retrace: the evaluator caches one jitted
+        program per solver bundle, mirroring the controller's _fns_cache
+        (round-2 review finding)."""
+        env, mppi = self._setup()
+        ev = autotune.PopulationEvaluator(
+            mppi, env.start, num_refinement_steps=1, num_trajectories=1
+        )
+        cand = [{"sigma": jnp.array([5.0, 5.0])}]
+        ev(cand)
+        mppi.change_horizon(6)
+        ev(cand)
+        mppi.change_horizon(10)  # back to the first solver (cached fns)
+        ev(cand)
+        assert len(ev._eval_cache) == 2  # one per distinct solver bundle
+
+    def test_population_values_validated(self):
+        """evaluate_population clips candidates through ensure_valid_value
+        exactly like the sequential path: a zero/negative sigma from an
+        unclipped search space must not reach cholesky (round-2 review
+        finding)."""
+        env, mppi = self._setup()
+        ev = autotune.PopulationEvaluator(
+            mppi, env.start, num_refinement_steps=1, num_trajectories=1
+        )
+        tuner = autotune_global.AutotuneGlobal(
+            [autotune_global.SigmaGlobalParameter(
+                mppi, search_space=autotune_global.Uniform(0.0, 10.0))],
+            evaluate_fn=lambda: None,
+            optimizer=autotune_global.GlobalSearchOpt(batch_size=3, seed=SEED),
+            population_evaluate_fn=ev,
+        )
+        costs = autotune.evaluate_population(
+            tuner, ev,
+            [{"sigma": jnp.array([0.0, -1.0])}, {"sigma": jnp.array([5.0, 5.0])}],
+        )
+        assert np.isfinite(costs).all()
+
+    def test_kmppi_horizon_groups_by_effective_value(self):
+        """KMPPI clamps horizons below num_support_pts; candidates that clamp
+        to the same shape must share one group and be scored at the shape
+        that actually ran (round-2 review finding)."""
+        from pytorch_mppi_tpu import KMPPI
+
+        env = Toy2DEnvironment(terminal_scale=10.0, dtype=DTYPE)
+        mppi = KMPPI(
+            env.dynamics, env.running_cost, 2,
+            noise_sigma=jnp.diag(jnp.array([5.0, 5.0], DTYPE)),
+            num_samples=32, horizon=12, num_support_pts=5,
+            u_max=jnp.array([2.0, 2.0], DTYPE), lambda_=1.0, seed=SEED,
+        )
+        ev = autotune.PopulationEvaluator(
+            mppi, env.start, num_refinement_steps=1, num_trajectories=1
+        )
+        tuner = autotune_global.AutotuneGlobal(
+            [autotune_global.SigmaGlobalParameter(mppi),
+             autotune_global.HorizonGlobalParameter(mppi)],
+            evaluate_fn=lambda: None,
+            optimizer=autotune_global.GlobalSearchOpt(batch_size=2, seed=SEED),
+            population_evaluate_fn=ev,
+        )
+        calls = []
+        orig = ev.__call__
+
+        def counting(dicts):
+            calls.append(len(dicts))
+            return orig(dicts)
+
+        # horizons 2, 3, 4 all clamp to nsp=5 -> ONE group of 3
+        costs = autotune.evaluate_population(
+            tuner, counting,
+            [{"sigma": jnp.array([5.0, 5.0]), "horizon": 2},
+             {"sigma": jnp.array([5.0, 5.0]), "horizon": 3},
+             {"sigma": jnp.array([5.0, 5.0]), "horizon": 4}],
+        )
+        assert calls == [3]
+        assert np.isfinite(costs).all()
+        assert mppi.T == 5
+
     def test_step_dependent_default_cost(self):
         """Default rollout cost resolves (state, u, t) running costs instead
         of raising TypeError (round-1 advisor finding)."""

@@ -434,6 +434,67 @@ class TestValidationGuards:
                          jnp.eye(2, dtype=DTYPE), num_envs=2, num_samples=16,
                          horizon=4, seed=0, noise_rho=1.5)
 
+    def test_batched_terminal_cost(self):
+        """MPPI_Batched supports a terminal cost (net-new: the reference's
+        batched controller has none, SURVEY.md §2.1 C15) with the same lazy
+        rollout-storage contract as the single-plant solver."""
+        from pytorch_mppi_tpu import MPPI_Batched
+
+        def terminal(states, actions):
+            # (N, K, T, nx) -> (N, K): heavily weight the last state
+            return 10.0 * ((GOAL - states[..., -1, :]) ** 2).sum(axis=-1)
+
+        x0 = jnp.stack([jnp.array([-3.0, -2.0], DTYPE),
+                        jnp.array([3.0, 2.0], DTYPE)])
+        plain = MPPI_Batched(linear_dynamics, quadratic_cost, 2,
+                             jnp.eye(2, dtype=DTYPE), num_envs=2,
+                             num_samples=64, horizon=8, seed=SEED)
+        plain.command(x0)
+        assert plain.states is None  # lazy-storage contract
+
+        term = MPPI_Batched(linear_dynamics, quadratic_cost, 2,
+                            jnp.eye(2, dtype=DTYPE), num_envs=2,
+                            num_samples=64, horizon=8, seed=SEED,
+                            terminal_state_cost=terminal)
+        a = term.command(x0)
+        assert a.shape == (2, 2)
+        assert term.states.shape == (2, 64, 8, 2)
+        assert not np.allclose(np.asarray(a),
+                               np.asarray(plain.command(x0)))  # cost matters
+
+        # closed loop with terminal cost converges on both plants
+        s = x0
+        ctrl = MPPI_Batched(linear_dynamics, quadratic_cost, 2,
+                            jnp.eye(2, dtype=DTYPE), num_envs=2,
+                            num_samples=128, horizon=8, seed=SEED,
+                            terminal_state_cost=terminal)
+        for _ in range(15):
+            s = linear_dynamics(s, ctrl.command(s))
+        d = jnp.linalg.norm(GOAL - s, axis=-1)
+        assert (np.asarray(d) < 1.5).all()
+
+    def test_batched_num_iterations(self):
+        """MPPI_Batched honors num_iterations like the other factories:
+        bit-identical at 1, runs at >1, rejects 0 (round-2 review finding)."""
+        from pytorch_mppi_tpu import MPPI_Batched
+
+        def build(**kw):
+            return MPPI_Batched(linear_dynamics, quadratic_cost, 2,
+                                jnp.eye(2, dtype=DTYPE), num_envs=3,
+                                num_samples=32, horizon=6, seed=SEED, **kw)
+
+        x0 = jnp.stack([jnp.array([-3.0, -2.0], DTYPE),
+                        jnp.array([1.0, 1.0], DTYPE),
+                        jnp.zeros(2, DTYPE)])
+        a_default = build().command(x0)
+        a_one = build(num_iterations=1).command(x0)
+        np.testing.assert_array_equal(np.asarray(a_default), np.asarray(a_one))
+        a_three = build(num_iterations=3).command(x0)
+        assert a_three.shape == (3, 2) and np.isfinite(np.asarray(a_three)).all()
+        assert not np.allclose(np.asarray(a_three), np.asarray(a_one))
+        with pytest.raises(ValueError):
+            build(num_iterations=0)
+
     def test_run_mppi_jit_rejects_indivisible_steps(self):
         from pytorch_mppi_tpu import run_mppi_jit
 

@@ -181,6 +181,15 @@ np.save({os.path.join(tmp_path, "action.npy")!r}, np.asarray(a))
         with pytest.raises(ValueError, match="shape"):
             checkpoint.load_controller(path, other)
 
+    def test_controller_class_mismatch_rejected(self, tmp_path):
+        """An SMPPI checkpoint must not silently restore into a plain MPPI —
+        the structures differ, not just leaf shapes (round-2 review finding)."""
+        ctrl = _ctrl(SMPPI)
+        path = os.path.join(tmp_path, "smppi.npz")
+        checkpoint.save_controller(path, ctrl)
+        with pytest.raises(ValueError, match="structure"):
+            checkpoint.load_controller(path, _ctrl(MPPI))
+
 
 class TestViz:
     def test_gif_recorder_and_colored_rollouts(self, tmp_path):
