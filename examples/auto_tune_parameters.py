@@ -96,12 +96,28 @@ def main():
     for p in diverse:
         print("  ", {k: np.asarray(v).tolist() for k, v in p.items()})
 
+    # (d) the population-parallel path: every generation evaluates in ONE
+    # vmapped device dispatch (6.8-33.8x over the per-candidate loop above,
+    # docs/BENCHMARKS.md); horizon candidates group into one dispatch per
+    # distinct effective shape
+    evaluator = autotune.PopulationEvaluator(
+        mppi, env.start, num_refinement_steps=num_refinement_steps,
+        num_trajectories=num_trajectories,
+    )
+    tuner = autotune_global.AutotuneGlobal(
+        [autotune_global.SigmaGlobalParameter(mppi),
+         autotune_global.HorizonGlobalParameter(
+             mppi, search_space=autotune_global.RandInt(5, 30)),
+         autotune_global.LambdaGlobalParameter(mppi)],
+        evaluate_fn=evaluate,
+        optimizer=autotune_global.GlobalSearchOpt(batch_size=8, seed=1),
+        population_evaluate_fn=evaluator,
+    )
+    res = tuner.optimize_all(3)
+    best = tuner.get_best_result()
+    print(f"Population-parallel global search best cost "
+          f"{float(jnp.mean(best.costs)):.2f}")
+
 
 if __name__ == "__main__":
     main()
-# (The population-parallel variant: pass
-#   population_evaluate_fn=autotune.PopulationEvaluator(mppi, env.start,
-#       num_refinement_steps=10, num_trajectories=5)
-# to Autotune and the CMA-ES population evaluates in ONE vmapped device
-# dispatch instead of one controller run per candidate. Sigma/Mu/Lambda only —
-# Horizon changes shapes and cannot be vmapped.)
