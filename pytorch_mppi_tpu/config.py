@@ -85,6 +85,12 @@ class MPPIConfig:
     # only touch the diagonal, so tuning stays on this path with zero
     # recompilation.
     diag_sigma: bool = False
+    # Unroll factor for the T-step rollout scan (lax.scan unroll=).  The scan's
+    # per-step loop overhead is ~18% of a K=10k/T=30 solve on v5e; full unroll
+    # (scan_unroll=T, or pass scan_unroll=0 for "always full") recovers it at
+    # the cost of longer compiles and bigger programs.  Default 1 keeps
+    # change_horizon/tuning loops cheap to re-specialize.
+    scan_unroll: int = 1
     dtype: Any = jnp.float32
 
     # SMPPI extras (reference mppi.py:451-570). Only read by the SMPPI factory.
@@ -96,6 +102,11 @@ class MPPIConfig:
     def __post_init__(self):
         # normalize dtype to a hashable canonical dtype object
         object.__setattr__(self, "dtype", jnp.dtype(self.dtype))
+        # scan_unroll=0 means "full unroll"; clamp to the horizon
+        u = int(self.scan_unroll)
+        object.__setattr__(
+            self, "scan_unroll", self.T if u in (0, -1) else max(1, min(u, self.T))
+        )
 
     @property
     def store_rollouts(self) -> bool:

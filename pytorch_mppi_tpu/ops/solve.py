@@ -312,7 +312,7 @@ def rollout_costs(
     )
     ts = jnp.arange(T)
     (final_state, cost_samples, cost_var), ys = lax.scan(
-        body, init, (u_scaled, ts, step_keys)
+        body, init, (u_scaled, ts, step_keys), unroll=config.scan_unroll
     )
 
     states = actions = None
@@ -579,7 +579,8 @@ def make_get_rollouts(config: MPPIConfig, wrapped_dynamics: Callable) -> Callabl
             nxt = nxt[..., : config.nx]
             return nxt, nxt
 
-        _, states = lax.scan(body, x0, (U, jnp.arange(T), step_keys))
+        _, states = lax.scan(body, x0, (U, jnp.arange(T), step_keys),
+                             unroll=config.scan_unroll)
         return jnp.swapaxes(states, 0, 1)  # (R, T, nx)
 
     return get_rollouts
@@ -957,6 +958,7 @@ def make_batched_step(
             body,
             (state0, jnp.zeros((N, K), dtype)),
             (u_scaled, jnp.arange(T), step_keys),
+            unroll=config.scan_unroll,
         )
 
         states = None

@@ -308,6 +308,40 @@ class TestNumIterations:
             assert d < (4.0 if cls is SMPPI else 2.0)
 
 
+class TestScanUnroll:
+    """scan_unroll trades compile time for per-solve loop overhead; it is a
+    pure scheduling knob — results must be bit-identical at any factor."""
+
+    def test_unroll_bitwise_identical(self):
+        x = jnp.array([-2.0, 1.5], dtype=DTYPE)
+        base = MPPI(linear_dynamics, quadratic_cost, 2, jnp.eye(2, dtype=DTYPE),
+                    num_samples=64, horizon=7, seed=SEED).command(x)
+        for unroll in (3, 0):  # 0 = full unroll
+            a = MPPI(linear_dynamics, quadratic_cost, 2, jnp.eye(2, dtype=DTYPE),
+                     num_samples=64, horizon=7, seed=SEED,
+                     scan_unroll=unroll).command(x)
+            np.testing.assert_array_equal(np.asarray(base), np.asarray(a))
+
+    def test_unroll_batched_and_variants(self):
+        from pytorch_mppi_tpu import KMPPI, MPPI_Batched
+
+        x = jnp.array([0.5, -0.5], dtype=DTYPE)
+        a1 = KMPPI(linear_dynamics, quadratic_cost, 2, jnp.eye(2, dtype=DTYPE),
+                   num_samples=32, horizon=8, seed=SEED).command(x)
+        a2 = KMPPI(linear_dynamics, quadratic_cost, 2, jnp.eye(2, dtype=DTYPE),
+                   num_samples=32, horizon=8, seed=SEED,
+                   scan_unroll=0).command(x)
+        np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+        xb = jnp.stack([x, -x])
+        b1 = MPPI_Batched(linear_dynamics, quadratic_cost, 2,
+                          jnp.eye(2, dtype=DTYPE), num_envs=2, num_samples=32,
+                          horizon=6, seed=SEED).command(xb)
+        b2 = MPPI_Batched(linear_dynamics, quadratic_cost, 2,
+                          jnp.eye(2, dtype=DTYPE), num_envs=2, num_samples=32,
+                          horizon=6, seed=SEED, scan_unroll=0).command(xb)
+        np.testing.assert_array_equal(np.asarray(b1), np.asarray(b2))
+
+
 class TestKMPPIHorizonGuard:
     """change_horizon below num_support_pts is clamped so HorizonParameter
     sweeps can never ill-condition the kernel Gram solve (judge item 8)."""
