@@ -117,6 +117,23 @@ def _validate_rho(noise_rho):
     return float(noise_rho)
 
 
+def _resolve_prng_impl(prng_impl, mesh):
+    """Auto-select the PRNG implementation (``prng_impl="auto"``, the default):
+    the TPU hardware generator ('rbg') on an unsharded TPU backend — ~3-5x
+    faster sampling, and sampling is most of a large-K solve — and the
+    partitionable threefry everywhere else (CPU, or mesh-sharded solves, whose
+    bit-identical-to-single-device guarantee needs threefry).  Pass
+    'threefry2x32' or 'rbg' to force; None preserves the explicit-default
+    (threefry) behavior."""
+    if prng_impl != "auto":
+        return prng_impl
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except RuntimeError:
+        on_tpu = False
+    return "rbg" if (on_tpu and mesh is None) else None
+
+
 def _is_diag(sigma) -> bool:
     """Static diagonality check at construction/setter time (the reference
     detects diagonal covariance at init, mppi.py:131-139)."""
@@ -194,15 +211,16 @@ class MPPI:
         mesh=None,
         sample_axis: str = "k",
         use_pallas: bool = False,
-        prng_impl: Optional[str] = None,
+        prng_impl: Optional[str] = "auto",
     ):
         self.mesh = mesh
         self.sample_axis = sample_axis
         self.use_pallas = use_pallas
-        # PRNG implementation: default threefry is partitionable (sharded solves
-        # bit-match single-device); 'rbg' is ~3x faster at large K (sampling is
-        # ~80% of a K=10k solve) at the cost of that sharding guarantee
-        self.prng_impl = prng_impl
+        # PRNG implementation (see _resolve_prng_impl): "auto" picks the TPU
+        # hardware generator ('rbg', ~3-5x faster sampling) on an unsharded
+        # TPU backend and partitionable threefry everywhere else; 'rbg'/
+        # 'threefry2x32'/None force a choice
+        self.prng_impl = _resolve_prng_impl(prng_impl, mesh)
         # learned-model weights: a traced pytree, swappable with zero recompilation
         self.dynamics_params = dynamics_params
         self.d = _resolve_device(device)
@@ -839,6 +857,7 @@ class MPPI_Batched:
         mesh=None,
         env_axis: str = "data",
         sample_axis: Optional[str] = None,
+        prng_impl: Optional[str] = "auto",
     ):
         self.mesh = mesh
         self.env_axis = env_axis
@@ -895,8 +914,14 @@ class MPPI_Batched:
             terminal_state_cost=terminal_state_cost,
             mesh=mesh, env_axis=env_axis, sample_axis=sample_axis,
         )
+        self.prng_impl = _resolve_prng_impl(prng_impl, mesh)
         if key is None:
-            key = jax.random.PRNGKey(0 if seed is None else int(seed))
+            seed = 0 if seed is None else int(seed)
+            key = (
+                jax.random.key(seed, impl=self.prng_impl)
+                if self.prng_impl
+                else jax.random.PRNGKey(seed)
+            )
         self._key = key
         self._state = _solve.BatchedState(
             U=self._sample_noise_eager((self.N, self.T)), key=self._next_key()

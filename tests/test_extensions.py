@@ -308,6 +308,26 @@ class TestNumIterations:
             assert d < (4.0 if cls is SMPPI else 2.0)
 
 
+class TestPrngAutoDefault:
+    def test_auto_resolves_to_threefry_on_cpu(self):
+        """prng_impl='auto' (the default) keeps threefry off-TPU, so the CPU
+        lane's seeded streams are unchanged; explicit choices are honored."""
+        ctrl = MPPI(linear_dynamics, quadratic_cost, 2, jnp.eye(2, dtype=DTYPE),
+                    num_samples=16, horizon=4, seed=0)
+        assert ctrl.prng_impl is None
+        forced = MPPI(linear_dynamics, quadratic_cost, 2, jnp.eye(2, dtype=DTYPE),
+                      num_samples=16, horizon=4, seed=0, prng_impl="rbg")
+        assert forced.prng_impl == "rbg"
+
+    def test_batched_auto_default(self):
+        from pytorch_mppi_tpu import MPPI_Batched
+
+        ctrl = MPPI_Batched(linear_dynamics, quadratic_cost, 2,
+                            jnp.eye(2, dtype=DTYPE), num_envs=2,
+                            num_samples=16, horizon=4, seed=0)
+        assert ctrl.prng_impl is None  # cpu backend
+
+
 class TestScanUnroll:
     """scan_unroll trades compile time for per-solve loop overhead; it is a
     pure scheduling knob — results must be bit-identical at any factor."""

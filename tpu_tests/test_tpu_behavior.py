@@ -232,9 +232,11 @@ class TestCrossBackend:
 
     def test_solve_matches_cpu_f32(self):
         cpu = jax.devices("cpu")[0]
-        a_tpu = _ctrl(num_samples=64, horizon=6).command(START)
+        # force threefry on both sides: the auto default picks the TPU
+        # hardware generator ('rbg'), whose stream has no CPU equivalent
+        a_tpu = _ctrl(num_samples=64, horizon=6, prng_impl=None).command(START)
         with jax.default_device(cpu):
-            a_cpu = _ctrl(num_samples=64, horizon=6).command(START)
+            a_cpu = _ctrl(num_samples=64, horizon=6, prng_impl=None).command(START)
         # identical noise draws (diag fast path is backend-bit-identical);
         # residual divergence comes from the TPU's bf16-input matmul precision
         # in the rollout accumulating through the softmax

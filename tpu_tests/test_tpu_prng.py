@@ -35,6 +35,20 @@ def _params(nu=2):
 
 
 class TestRbg:
+    def test_auto_default_picks_rbg_on_tpu(self):
+        """The production default (prng_impl='auto') resolves to the TPU
+        hardware generator on an unsharded TPU backend, and stays threefry
+        with a mesh (the partitionable-bit-identity guarantee)."""
+        from jax.sharding import Mesh
+
+        ctrl = MPPI(dyn, cost, 2, jnp.eye(2, dtype=DT), num_samples=16,
+                    horizon=4, seed=0)
+        assert ctrl.prng_impl == "rbg"
+        mesh = Mesh(np.asarray(jax.devices()[:1]).reshape(1), ("k",))
+        sharded = MPPI(dyn, cost, 2, jnp.eye(2, dtype=DT), num_samples=16,
+                       horizon=4, seed=0, mesh=mesh)
+        assert sharded.prng_impl is None
+
     def test_rbg_controller_converges(self):
         ctrl = MPPI(dyn, cost, 2, jnp.eye(2, dtype=DT), num_samples=256,
                     horizon=10, lambda_=1.0, seed=42, prng_impl="rbg")
