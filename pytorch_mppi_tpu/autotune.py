@@ -261,6 +261,14 @@ class TunableParameter(abc.ABC):
     def attach_to_state(self, state: dict):
         """Reattach the parameter to new internal state (multiprocessing reload)."""
 
+    def effective_value(self, value):
+        """The value the controller would actually end up with if this value
+        were applied — WITHOUT applying it (pure).  Defaults to
+        ``ensure_valid_value``; parameters whose controllers clamp further
+        (e.g. KMPPI horizons) override this so
+        :func:`evaluate_population` can group candidates by real shape."""
+        return self.ensure_valid_value(value)
+
     def get_parameter_value_from_config(self, config):
         return config[self.name()]
 
@@ -387,6 +395,13 @@ class HorizonParameter(MPPIParameter):
         if isinstance(value, (np.ndarray, jnp.ndarray)):
             value = np.ravel(np.asarray(value))[0]
         return max(round(float(value)), 1)
+
+    def effective_value(self, value):
+        # KMPPI clamps horizons below num_support_pts (controller.py) — mirror
+        # that here, purely, so shape grouping matches what apply would do
+        v = self.ensure_valid_value(value)
+        floor = getattr(self.mppi, "num_support_pts", None)
+        return max(v, int(floor)) if floor else v
 
     def apply_parameter_value(self, value):
         self.mppi.change_horizon(self.ensure_valid_value(value))
@@ -587,40 +602,61 @@ def evaluate_population(tuner, pop_fn, param_values_list):
 
     Every value is validated through its parameter's ``ensure_valid_value``
     (the same clipping the sequential apply path performs), and shape params
-    group by their EFFECTIVE applied value — e.g. KMPPI clamps horizons below
-    ``num_support_pts``, so candidates that resolve to the same shape share
-    one dispatch and are scored at the shape that actually ran.
+    group PURELY by their :meth:`TunableParameter.effective_value` — e.g.
+    KMPPI clamps horizons below ``num_support_pts``, so candidates that
+    resolve to the same shape share one dispatch and are scored at the shape
+    that actually ran.  The controller's state (nominal trajectory, horizon)
+    is snapshotted before the group loop and restored between groups and at
+    the end: a ``change_horizon`` truncation/zero-pad from one group can never
+    leak into another group's (or the caller's) nominal trajectory.
 
     :returns: (P,) numpy array of mean costs aligned with the input list.
     """
+    from .utils import checkpoint as _ckpt
+
     by_name = {p.name(): p for p in tuner.params}
     shape_names = [n for n in by_name if n not in _VMAPPABLE_PARAMS]
     costs = np.full(len(param_values_list), np.nan)
 
     def effective_key(pv):
-        # apply, then read back: controllers may clamp further than
-        # ensure_valid_value (KMPPI horizon >= num_support_pts); re-applies of
-        # an unchanged shape are cheap (the controller caches solvers per config)
-        for n in shape_names:
-            by_name[n].apply_parameter_value(pv[n])
-        return tuple(by_name[n].get_current_parameter_value() for n in shape_names)
+        # pure: no controller mutation during grouping
+        return tuple(by_name[n].effective_value(pv[n]) for n in shape_names)
 
     groups: dict = {}
     for i, pv in enumerate(param_values_list):
         groups.setdefault(effective_key(pv), []).append(i)
-    for key, idxs in groups.items():
-        for n, v in zip(shape_names, key):
-            by_name[n].apply_parameter_value(v)
-        dicts = []
-        for i in idxs:
-            # validate vmappable values exactly like the sequential path does
-            # (eps-clip sigma/lambda, coerce mu) before they reach cholesky
-            dicts.append({
-                k: by_name[k].ensure_valid_value(v)
-                for k, v in vmappable_subset(param_values_list[i]).items()
-            })
-        res = pop_fn(dicts)
-        costs[np.asarray(idxs)] = np.asarray(res.costs, dtype=np.float64).reshape(-1)
+
+    mppi = next((p.mppi for p in tuner.params if getattr(p, "mppi", None)
+                 is not None), None)
+    snap = _ckpt.snapshot(mppi) if (mppi is not None and shape_names) else None
+    T0 = mppi.T if snap is not None else None
+
+    def _restore():
+        if snap is not None:
+            # horizon back first so the snapshot's shapes fit, then the exact
+            # pre-loop state (U un-truncated/un-padded)
+            mppi.change_horizon(T0)
+            _ckpt.restore(mppi, snap)
+
+    try:
+        for key, idxs in groups.items():
+            _restore()
+            for n, v in zip(shape_names, key):
+                by_name[n].apply_parameter_value(v)
+            dicts = []
+            for i in idxs:
+                # validate vmappable values exactly like the sequential path
+                # does (eps-clip sigma/lambda, coerce mu) before cholesky
+                dicts.append({
+                    k: by_name[k].ensure_valid_value(v)
+                    for k, v in vmappable_subset(param_values_list[i]).items()
+                })
+            res = pop_fn(dicts)
+            costs[np.asarray(idxs)] = np.asarray(
+                res.costs, dtype=np.float64
+            ).reshape(-1)
+    finally:
+        _restore()
     return costs
 
 

@@ -274,7 +274,15 @@ class GlobalSearchOpt(autotune.Optimizer):
             # land on the best seen so far (greedy) and re-evaluate it
             best_values = self.tuner.config_to_params(self.best_config)
             self.tuner.apply_parameters(best_values)
-            res = pop_fn([autotune.vmappable_subset(best_values)])
+            # config_to_params does no clipping: validate like the batch path
+            # so a boundary candidate (sigma/lambda at 0) cannot reach
+            # cholesky/exp raw and log NaN costs
+            by_name = {p.name(): p for p in self.tuner.params}
+            subset = {
+                k: by_name[k].ensure_valid_value(v)
+                for k, v in autotune.vmappable_subset(best_values).items()
+            }
+            res = pop_fn([subset])
             return res._replace(costs=res.costs.reshape(-1))
 
         best_res = None

@@ -117,16 +117,20 @@ def _validate_rho(noise_rho):
     return float(noise_rho)
 
 
-def _resolve_prng_impl(prng_impl, mesh):
+def _resolve_prng_impl(prng_impl, mesh, device=None):
     """Auto-select the PRNG implementation (``prng_impl="auto"``, the default):
-    the TPU hardware generator ('rbg') on an unsharded TPU backend — ~3-5x
+    the TPU hardware generator ('rbg') on an unsharded TPU placement — ~3-5x
     faster sampling, and sampling is most of a large-K solve — and the
-    partitionable threefry everywhere else (CPU, or mesh-sharded solves, whose
-    bit-identical-to-single-device guarantee needs threefry).  Pass
-    'threefry2x32' or 'rbg' to force; None preserves the explicit-default
-    (threefry) behavior."""
+    partitionable threefry everywhere else (CPU placement, or mesh-sharded
+    solves, whose bit-identical-to-single-device guarantee needs threefry).
+    ``device`` is the controller's resolved placement (the ``device=`` kwarg):
+    a CPU-placed controller on a TPU host stays on threefry so its seeded
+    streams match a genuine CPU run.  Pass 'threefry2x32' or 'rbg' to force;
+    None preserves the explicit-default (threefry) behavior."""
     if prng_impl != "auto":
         return prng_impl
+    if device is not None:
+        return "rbg" if (device.platform == "tpu" and mesh is None) else None
     try:
         on_tpu = jax.default_backend() == "tpu"
     except RuntimeError:
@@ -216,14 +220,14 @@ class MPPI:
         self.mesh = mesh
         self.sample_axis = sample_axis
         self.use_pallas = use_pallas
-        # PRNG implementation (see _resolve_prng_impl): "auto" picks the TPU
-        # hardware generator ('rbg', ~3-5x faster sampling) on an unsharded
-        # TPU backend and partitionable threefry everywhere else; 'rbg'/
-        # 'threefry2x32'/None force a choice
-        self.prng_impl = _resolve_prng_impl(prng_impl, mesh)
         # learned-model weights: a traced pytree, swappable with zero recompilation
         self.dynamics_params = dynamics_params
         self.d = _resolve_device(device)
+        # PRNG implementation (see _resolve_prng_impl): "auto" picks the TPU
+        # hardware generator ('rbg', ~3-5x faster sampling) on an unsharded
+        # TPU placement and partitionable threefry everywhere else; 'rbg'/
+        # 'threefry2x32'/None force a choice
+        self.prng_impl = _resolve_prng_impl(prng_impl, mesh, self.d)
         sigma = _coerce_sigma(noise_sigma)
         self.dtype = sigma.dtype
         self.K = int(num_samples)
@@ -914,7 +918,7 @@ class MPPI_Batched:
             terminal_state_cost=terminal_state_cost,
             mesh=mesh, env_axis=env_axis, sample_axis=sample_axis,
         )
-        self.prng_impl = _resolve_prng_impl(prng_impl, mesh)
+        self.prng_impl = _resolve_prng_impl(prng_impl, mesh, self.d)
         if key is None:
             seed = 0 if seed is None else int(seed)
             key = (

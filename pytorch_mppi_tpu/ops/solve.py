@@ -966,7 +966,13 @@ def make_batched_step(
             # (T, N, K, nx) -> (N, K, T, nx), same layout convention as the
             # single-plant path (reference mppi.py:309-310)
             states = jnp.moveaxis(ys, 0, 2)
-            tc = jnp.asarray(terminal_state_cost(states, perturbed), dtype)
+            # terminal cost sees u_scale-SCALED actions, exactly like the
+            # single-plant path stores them (rollout_costs scales before the
+            # scan; reference mppi.py:313)
+            acts = perturbed if config.u_scale == 1.0 else (
+                perturbed * jnp.asarray(config.u_scale, dtype)
+            )
+            tc = jnp.asarray(terminal_state_cost(states, acts), dtype)
             cost_total = cost_total + tc.reshape(N, K)
 
         # per-env action cost folded to one (N,K,D)·(N,D) contraction

@@ -205,7 +205,11 @@ def load_controller(path: str, ctrl):
         raise ValueError(
             f"checkpoint structure {got_def} does not match the controller's "
             f"{want_def} — was it saved from the same controller class "
-            f"(MPPI/SMPPI/KMPPI) and configuration?"
+            f"(MPPI/SMPPI/KMPPI) and configuration? Note: the default "
+            f"prng_impl='auto' selects the hardware PRNG on TPU but threefry "
+            f"on CPU, so a checkpoint saved on one backend needs the "
+            f"controller constructed with the SAME prng_impl to restore on "
+            f"the other (e.g. prng_impl=None for a CPU-saved checkpoint)."
         )
     for got, want in zip(
         jax.tree_util.tree_leaves(snap), jax.tree_util.tree_leaves(snapshot(ctrl))

@@ -484,6 +484,49 @@ class TestPopulationEvaluator:
             [{"sigma": jnp.array([0.0, -1.0])}, {"sigma": jnp.array([5.0, 5.0])}],
         )
         assert np.isfinite(costs).all()
+        # full optimize steps: the best-candidate RE-evaluation must also be
+        # validated (boundary sigma drawn raw from the unclipped space)
+        for _ in range(2):
+            res = tuner.optimize_step()
+            assert np.isfinite(np.asarray(res.costs)).all()
+        for r in tuner.results:
+            assert np.isfinite(np.asarray(r.costs)).all()
+
+    def test_horizon_groups_restore_controller_state(self):
+        """Shape grouping must not corrupt the shared nominal trajectory: a
+        change_horizon truncation from one group cannot zero-pad into the
+        next group's U, and the caller's state is fully restored afterwards
+        (round-2 review finding)."""
+        env, mppi = self._setup()  # horizon=10
+        mppi.U = jnp.linspace(0.1, 2.0, 20).reshape(10, 2)
+        U0 = np.asarray(mppi.U).copy()
+        ev = autotune.PopulationEvaluator(
+            mppi, env.start, num_refinement_steps=1, num_trajectories=1
+        )
+        tuner = autotune_global.AutotuneGlobal(
+            [autotune_global.SigmaGlobalParameter(mppi),
+             autotune_global.HorizonGlobalParameter(mppi)],
+            evaluate_fn=lambda: None,
+            optimizer=autotune_global.GlobalSearchOpt(batch_size=2, seed=SEED),
+            population_evaluate_fn=ev,
+        )
+        costs = autotune.evaluate_population(
+            tuner, ev,
+            [{"sigma": jnp.array([5.0, 5.0]), "horizon": 4},
+             {"sigma": jnp.array([5.0, 5.0]), "horizon": 10}],
+        )
+        assert np.isfinite(costs).all()
+        # controller fully restored: same horizon, bit-identical U
+        assert mppi.T == 10
+        np.testing.assert_array_equal(np.asarray(mppi.U), U0)
+
+    def test_effective_value_is_pure(self):
+        env, mppi = self._setup()
+        p = autotune.HorizonParameter(mppi)
+        T0, U0 = mppi.T, np.asarray(mppi.U).copy()
+        assert p.effective_value(3.7) == 4
+        assert mppi.T == T0
+        np.testing.assert_array_equal(np.asarray(mppi.U), U0)
 
     def test_kmppi_horizon_groups_by_effective_value(self):
         """KMPPI clamps horizons below num_support_pts; candidates that clamp
@@ -524,7 +567,8 @@ class TestPopulationEvaluator:
         )
         assert calls == [3]
         assert np.isfinite(costs).all()
-        assert mppi.T == 5
+        # the controller is RESTORED to its pre-grouping horizon afterwards
+        assert mppi.T == 12
 
     def test_step_dependent_default_cost(self):
         """Default rollout cost resolves (state, u, t) running costs instead

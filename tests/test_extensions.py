@@ -527,6 +527,40 @@ class TestValidationGuards:
         d = jnp.linalg.norm(GOAL - s, axis=-1)
         assert (np.asarray(d) < 1.5).all()
 
+    def test_batched_terminal_cost_sees_scaled_actions(self):
+        """The batched terminal cost receives u_scale-SCALED actions, exactly
+        like the single-plant path stores them (round-2 review finding)."""
+        from pytorch_mppi_tpu import MPPI_Batched
+
+        def identity_dyn(state, action):
+            return state
+
+        def zero_cost(state, action):
+            return jnp.zeros(state.shape[:-1], DTYPE)
+
+        def action_energy(states, actions):
+            return (actions**2).sum(axis=(-1, -2))
+
+        def build(u_scale):
+            return MPPI_Batched(identity_dyn, zero_cost, 2,
+                                jnp.eye(2, dtype=DTYPE), num_envs=2,
+                                num_samples=16, horizon=4, seed=7,
+                                u_scale=u_scale,
+                                terminal_state_cost=action_energy)
+
+        c1, c2 = build(1.0), build(2.0)
+        # zero nominal -> zero action-perturbation cost, so cost_total is the
+        # terminal action energy alone
+        c1.U = jnp.zeros_like(c1.U)
+        c2.U = jnp.zeros_like(c2.U)
+        x0 = jnp.zeros((2, 2), DTYPE)
+        c1.command(x0, shift_nominal_trajectory=False)
+        c2.command(x0, shift_nominal_trajectory=False)
+        # same seed -> same perturbed actions; scaled energy must be 4x
+        np.testing.assert_allclose(np.asarray(c2.cost_total),
+                                   4.0 * np.asarray(c1.cost_total),
+                                   rtol=1e-6)
+
     def test_batched_num_iterations(self):
         """MPPI_Batched honors num_iterations like the other factories:
         bit-identical at 1, runs at >1, rejects 0 (round-2 review finding)."""
