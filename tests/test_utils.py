@@ -191,6 +191,28 @@ np.save({os.path.join(tmp_path, "action.npy")!r}, np.asarray(a))
             checkpoint.load_controller(path, _ctrl(MPPI))
 
 
+class TestCacheUtils:
+    """Contract tests for the example-support replacements of
+    arm_pytorch_utilities (SURVEY.md §2.3: cache.LocalCache, sort_nicely)."""
+
+    def test_local_cache_roundtrip(self, tmp_path):
+        from pytorch_mppi_tpu.utils.cache import LocalCache
+
+        path = os.path.join(tmp_path, "res.pkl")
+        c = LocalCache(path)
+        c["run1"] = {"cost": 1.5}
+        c.save()
+        c2 = LocalCache(path)
+        assert c2["run1"] == {"cost": 1.5}
+
+    def test_sort_nicely(self):
+        from pytorch_mppi_tpu.utils.cache import sort_nicely
+
+        frames = ["f10.png", "f2.png", "f1.png", "f20.png"]
+        sort_nicely(frames)
+        assert frames == ["f1.png", "f2.png", "f10.png", "f20.png"]
+
+
 class TestViz:
     def test_gif_recorder_and_colored_rollouts(self, tmp_path):
         """Headless gif recording of rollout evolution (reference parity:
