@@ -266,11 +266,22 @@ class GlobalSearchOpt(autotune.Optimizer):
             # the natural fit for batch-per-step global search (the reference
             # parallelizes trials across Ray workers, autotune_global.py:128-140)
             dicts = [self.tuner.config_to_params(c) for c in configs]
-            costs = autotune.evaluate_population(self.tuner, pop_fn, dicts)
-            i_best = int(np.argmin(costs))
-            if costs[i_best] < self.best_cost:
-                self.best_cost = float(costs[i_best])
-                self.best_config = configs[i_best]
+            costs = np.asarray(autotune.evaluate_population(self.tuner, pop_fn, dicts))
+            # nan-safe argmin: a diverging candidate (NaN/inf cost) must neither
+            # be selected as 'best' nor silently waste the batch
+            finite = np.isfinite(costs)
+            if finite.any():
+                i_best = int(np.flatnonzero(finite)[np.argmin(costs[finite])])
+                if costs[i_best] < self.best_cost:
+                    self.best_cost = float(costs[i_best])
+                    self.best_config = configs[i_best]
+            if self.best_config is None:
+                raise RuntimeError(
+                    f"all {len(configs)} candidate configurations in the first "
+                    f"batch evaluated to non-finite cost (diverging dynamics?); "
+                    f"cannot select a best configuration — check the evaluation "
+                    f"function or narrow the search space"
+                )
             # land on the best seen so far (greedy) and re-evaluate it
             best_values = self.tuner.config_to_params(self.best_config)
             self.tuner.apply_parameters(best_values)
@@ -291,10 +302,17 @@ class GlobalSearchOpt(autotune.Optimizer):
             self.tuner.apply_parameters(self.tuner.config_to_params(config))
             res = self.tuner.evaluate_fn()
             c = float(np.mean(np.asarray(res.costs)))
-            if c < self.best_cost:
+            if np.isfinite(c) and c < self.best_cost:
                 self.best_cost = c
                 self.best_config = config
                 best_res = res
+        if self.best_config is None:
+            raise RuntimeError(
+                f"all {len(configs)} candidate configurations in the first "
+                f"batch evaluated to non-finite cost (diverging dynamics?); "
+                f"cannot select a best configuration — check the evaluation "
+                f"function or narrow the search space"
+            )
         # land on the best seen so far (greedy)
         self.tuner.apply_parameters(self.tuner.config_to_params(self.best_config))
         if best_res is None:

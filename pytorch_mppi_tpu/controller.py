@@ -68,7 +68,13 @@ class SpecificActionSampler:
         raise NotImplementedError
 
     def specific_dynamics(self, next_state, state, action, t):
-        """Post-process per-step dynamics; defaults to identity (mppi.py:25-27)."""
+        """Post-process per-step dynamics; defaults to identity (mppi.py:25-27).
+
+        The ``state`` argument matches the reference exactly per rollout path
+        (equivalence-pinned): at M=1 it is the *new* state again
+        (mppi.py:315-317), at M>1 it is the *initial* state x0 at every
+        timestep (mppi.py:349-361 never update their ``state`` inside the
+        loop).  Shapes are (M, K, nx); ``action`` is u_scale-scaled."""
         return next_state
 
     def register_sample_start_end(self, start_idx, end_idx):
@@ -117,6 +123,9 @@ def _validate_rho(noise_rho):
     return float(noise_rho)
 
 
+_logged_auto_rbg = False
+
+
 def _resolve_prng_impl(prng_impl, mesh, device=None):
     """Auto-select the PRNG implementation (``prng_impl="auto"``, the default):
     the TPU hardware generator ('rbg') on an unsharded TPU placement — ~3-5x
@@ -130,12 +139,25 @@ def _resolve_prng_impl(prng_impl, mesh, device=None):
     if prng_impl != "auto":
         return prng_impl
     if device is not None:
-        return "rbg" if (device.platform == "tpu" and mesh is None) else None
-    try:
-        on_tpu = jax.default_backend() == "tpu"
-    except RuntimeError:
-        on_tpu = False
-    return "rbg" if (on_tpu and mesh is None) else None
+        on_tpu = device.platform == "tpu"
+    else:
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except RuntimeError:
+            on_tpu = False
+    if on_tpu and mesh is None:
+        # log once so users diagnosing seed-reproducibility differences across
+        # backends/versions (v0.1 defaulted to threefry everywhere) get a pointer
+        global _logged_auto_rbg
+        if not _logged_auto_rbg:
+            _logged_auto_rbg = True
+            logger.info(
+                "prng_impl='auto' resolved to the TPU hardware PRNG ('rbg'): "
+                "sampled noise streams for a fixed seed differ from CPU/threefry "
+                "runs; pass prng_impl=None to force cross-backend threefry streams"
+            )
+        return "rbg"
+    return None
 
 
 def _is_diag(sigma) -> bool:
@@ -894,6 +916,11 @@ class MPPI_Batched:
             u_max=hi,
             u_init=u_init,
         )
+        # pin the params pytree to the resolved placement, exactly as the
+        # single-plant controller does — without this, a device='cpu' batched
+        # controller on a TPU host silently computes on TPU
+        if self.d is not None:
+            self._params = jax.device_put(self._params, self.d)
         self.config = MPPIConfig(
             nx=self.nx,
             nu=self.nu,

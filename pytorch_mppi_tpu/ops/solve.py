@@ -285,11 +285,17 @@ def rollout_costs(
         u_flat = jnp.broadcast_to(u_t[None], (M, K, nu)).reshape(M * K, nu)
         next_state = dynamics(dyn_params, state, u_flat, t, k_t)
         if specific_dynamics is not None:
-            # reference single path passes the *new* state for both args
-            # (mppi.py:315-317); multi path passes the previous state (mppi.py:358-360).
-            # We follow the multi-path (documented) signature: (next, prev, u, t).
+            # signature (next, state, u, t), matching the reference EXACTLY per
+            # path — both of its paths have quirks a user's hook may read, so
+            # we replicate them rather than "fix" them (equivalence-pinned in
+            # tests/test_reference_equivalence.py): the M=1 fast path passes
+            # the *new* state for both state args (mppi.py:315-317); the M>1
+            # path passes the *initial* state x0 at every timestep, because
+            # the reference only ever updates `state_flat`, never `state`,
+            # inside its loop (mppi.py:349-361).  M is static, so this
+            # resolves at trace time.
             s3 = next_state.reshape(M, K, -1)
-            p3 = state.reshape(M, K, -1)
+            p3 = s3 if M == 1 else state0.reshape(M, K, -1)
             u3 = u_flat.reshape(M, K, nu)
             next_state = specific_dynamics(s3, p3, u3, t).reshape(M * K, -1)
         c = running_cost(next_state, u_flat, t).reshape(M, K)

@@ -214,6 +214,25 @@ def load_controller(path: str, ctrl):
     for got, want in zip(
         jax.tree_util.tree_leaves(snap), jax.tree_util.tree_leaves(snapshot(ctrl))
     ):
+        # A PRNG-implementation mismatch (rbg-saved checkpoint restored into a
+        # threefry controller, or vice versa) surfaces here as a key-leaf
+        # dtype/shape difference, not as a structure mismatch — diagnose it
+        # explicitly so the error names the actual knob (prng_impl)
+        got_key, want_key = _is_typed_key(got), _is_typed_key(want)
+        if got_key != want_key or (
+            got_key and str(jax.random.key_impl(got)) != str(jax.random.key_impl(want))
+        ):
+            def _impl(x, is_key):
+                return str(jax.random.key_impl(x)) if is_key else f"raw {jnp.shape(x)} {jnp.dtype(x)}"
+            raise ValueError(
+                f"checkpoint PRNG key implementation ({_impl(got, got_key)}) does "
+                f"not match the controller's ({_impl(want, want_key)}). The default "
+                f"prng_impl='auto' selects the hardware PRNG ('rbg') on TPU but "
+                f"threefry on CPU, so restoring a checkpoint saved on another "
+                f"backend needs the controller constructed with the SAME "
+                f"prng_impl it was saved under (e.g. prng_impl=None for a "
+                f"CPU-saved checkpoint, prng_impl='rbg' for a TPU-saved one)."
+            )
         if jnp.shape(got) != jnp.shape(want):
             raise ValueError(
                 f"checkpoint leaf shape {jnp.shape(got)} does not match the "

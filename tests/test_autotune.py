@@ -236,6 +236,49 @@ class TestGlobal:
         assert np.isfinite(np.asarray(res.costs)).all()
         assert 3 <= mppi.T <= 12 or mppi.T == 10
 
+    def test_global_search_all_nonfinite_raises_clearly(self):
+        """If every candidate in the first batch evaluates to NaN/inf cost,
+        GlobalSearchOpt must raise a clear error — not TypeError from
+        config_to_params(None) (advisor round-2 #2)."""
+        _, mppi, _ = _make_problem()
+
+        def diverging():
+            return autotune.EvaluationResult(
+                jnp.full((2,), jnp.nan), jnp.zeros((2, 10, 2))
+            )
+
+        tuner = autotune_global.AutotuneGlobal(
+            [autotune_global.SigmaGlobalParameter(mppi)], evaluate_fn=diverging,
+            optimizer=autotune_global.GlobalSearchOpt(batch_size=3, seed=SEED),
+        )
+        with pytest.raises(RuntimeError, match="non-finite"):
+            tuner.optimize_step()
+
+    def test_global_search_skips_nan_candidates(self):
+        """A NaN candidate inside an otherwise-finite batch is never selected
+        as best (nan-safe argmin)."""
+        _, mppi, evaluate = _make_problem()
+        calls = {"n": 0}
+
+        def sometimes_nan():
+            calls["n"] += 1
+            res = evaluate()
+            if calls["n"] % 2 == 0:  # poison every other candidate
+                return autotune.EvaluationResult(
+                    jnp.full_like(res.costs, jnp.nan), res.rollouts
+                )
+            return res
+
+        tuner = autotune_global.AutotuneGlobal(
+            [autotune_global.SigmaGlobalParameter(mppi)],
+            evaluate_fn=sometimes_nan,
+            optimizer=autotune_global.GlobalSearchOpt(batch_size=4, seed=SEED),
+        )
+        tuner.optimize_step()
+        best = tuner.optim.best_cost
+        assert np.isfinite(best)
+        assert tuner.optim.best_config is not None
+
     def test_ray_optimizer_raises_without_ray(self):
         _, mppi, evaluate = _make_problem()
         params = [autotune_global.SigmaGlobalParameter(mppi)]

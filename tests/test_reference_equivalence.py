@@ -266,6 +266,79 @@ def test_kmppi_matches_reference(ref, monkeypatch):
         state_np = state_np + np.asarray(a_j) @ B_NP.T
 
 
+@pytest.mark.parametrize("M", [1, 3], ids=["m1", "m3"])
+def test_specific_action_sampler_matches_reference(ref, monkeypatch, M):
+    """SpecificActionSampler injection AND the per-step specific_dynamics hook,
+    equivalence-pinned on both rollout paths.  The hook deliberately READS its
+    second (previous-state) argument: the reference's M=1 fast path passes the
+    *new* state for both state args (mppi.py:315-317) while the M>1 path passes
+    the previous state (mppi.py:358-360) — we replicate each path exactly
+    (ops/solve.py rollout body), so this asserts the quirk is matched, not
+    papered over."""
+    n_traj = 2
+
+    class SamplerT(ref.SpecificActionSampler):
+        def sample_trajectories(self, state, info):
+            ramp = torch.linspace(-0.5, 0.5, T, dtype=torch.double)
+            base = torch.stack([ramp, -ramp], dim=-1)  # (T, nu)
+            return torch.stack([base * (1.0 + 0.1 * state[0]), base * 0.5])
+
+        def specific_dynamics(self, next_state, state, action, t):
+            return next_state + 0.01 * state
+
+    class SamplerJ(pm.SpecificActionSampler):
+        num_trajectories = n_traj
+
+        def sample_trajectories(self, state, info):
+            ramp = jnp.linspace(-0.5, 0.5, T)
+            base = jnp.stack([ramp, -ramp], axis=-1)
+            return jnp.stack([base * (1.0 + 0.1 * state[0]), base * 0.5])
+
+        def specific_dynamics(self, next_state, state, action, t):
+            return next_state + 0.01 * state
+
+    kw = dict(sample_null_action=True)
+    if M > 1:
+        kw["rollout_samples"] = M
+        kw["rollout_var_cost"] = 0.1
+
+    noise_bank = _preset_noise(31)
+    torch.manual_seed(SEED)
+    ctrl_t = ref.MPPI(dyn_t, cost_t, NX, torch.eye(NU, dtype=torch.double),
+                      num_samples=K, horizon=T, device="cpu",
+                      specific_action_sampler=SamplerT(), **kw)
+    _patch_ref(ctrl_t, noise_bank)
+
+    _patch_ours(monkeypatch, _preset_noise(31))
+    ctrl_j = pm.MPPI(dyn_j, cost_j, NX, jnp.eye(NU, dtype=jnp.float64),
+                     num_samples=K, horizon=T, seed=SEED,
+                     specific_action_sampler=SamplerJ(), **kw)
+
+    U0 = _preset_noise(96)((T, NU))
+    ctrl_t.U = torch.tensor(U0, dtype=torch.double)
+    ctrl_j.U = jnp.asarray(U0)
+
+    state_np = np.array([-3.0, -2.0])
+    for step in range(3):
+        a_t = ctrl_t.command(torch.tensor(state_np, dtype=torch.double))
+        a_j = ctrl_j.command(jnp.asarray(state_np))
+        np.testing.assert_allclose(
+            np.asarray(a_j), a_t.numpy(), rtol=1e-9, atol=1e-11,
+            err_msg=f"[sampler M={M}] action mismatch at step {step}",
+        )
+        np.testing.assert_allclose(
+            np.asarray(ctrl_j.cost_total), ctrl_t.cost_total.numpy(),
+            rtol=1e-9, atol=1e-11, err_msg=f"[sampler M={M}] cost_total mismatch",
+        )
+        # both samplers were told the same slice of the sample set
+        assert (ctrl_j.specific_action_sampler.start_idx
+                == ctrl_t.specific_action_sampler.start_idx == 1)
+        assert (ctrl_j.specific_action_sampler.end_idx
+                == ctrl_t.specific_action_sampler.end_idx == 1 + n_traj)
+        a_first = np.asarray(a_j)
+        state_np = state_np + a_first @ B_NP.T
+
+
 def test_batched_matches_reference(ref, monkeypatch):
     N = 3
     noise_bank_t = _preset_noise(23)

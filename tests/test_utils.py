@@ -130,6 +130,35 @@ class TestCheckpoint:
             np.testing.assert_array_equal(
                 np.asarray(jax.random.normal(k)), np.asarray(jax.random.normal(k2)))
 
+    def test_prng_impl_mismatch_is_diagnosed(self, tmp_path):
+        """An rbg-saved checkpoint restored into a threefry controller (or
+        vice versa, or typed-vs-raw) must raise an error that names prng_impl
+        — the actual knob — not a bare shape complaint (advisor round-2 #1).
+        Typed keys always have shape (), so without the explicit impl check a
+        threefry checkpoint would silently restore into an rbg controller."""
+        path = os.path.join(tmp_path, "impl.npz")
+
+        # typed rbg saved -> typed threefry controller
+        ctrl_rbg = _ctrl(prng_impl="rbg")
+        checkpoint.save_controller(path, ctrl_rbg)
+        ctrl_fry = _ctrl(prng_impl="threefry2x32")
+        with pytest.raises(ValueError, match="prng_impl"):
+            checkpoint.load_controller(path, ctrl_fry)
+
+        # typed rbg saved -> raw-PRNGKey controller (prng_impl=None)
+        ctrl_raw = _ctrl(prng_impl=None)
+        with pytest.raises(ValueError, match="prng_impl"):
+            checkpoint.load_controller(path, ctrl_raw)
+
+        # raw saved -> typed controller
+        path2 = os.path.join(tmp_path, "impl2.npz")
+        checkpoint.save_controller(path2, ctrl_raw)
+        with pytest.raises(ValueError, match="prng_impl"):
+            checkpoint.load_controller(path2, ctrl_rbg)
+
+        # matching impls still round-trip
+        checkpoint.load_controller(path, _ctrl(prng_impl="rbg"))
+
     def test_fresh_interpreter_resume_bit_identical(self, tmp_path):
         """The judge's done-criterion: save in one process, load in a FRESH
         interpreter (no like= pytree), restore a reconstructed controller, and

@@ -32,15 +32,33 @@ def main():
     )
     dur = time.time() - t0
     tail = proc.stdout[-6000:]
+    # parse ONLY pytest's final summary line ("N passed, M skipped in 12.3s"),
+    # not the whole tail — a number+keyword inside a warning line must not be
+    # miscounted as a result
     counts = {"passed": 0, "failed": 0, "skipped": 0, "error": 0}
-    for kind in counts:
-        m = re.search(rf"(\d+) {kind}", tail)
-        if m:
-            counts[kind] = int(m.group(1))
+    summary = None
+    for line in reversed(tail.strip().splitlines()):
+        if re.search(r"\d+ (passed|failed|skipped|error)", line) and " in " in line:
+            summary = line
+            break
+    if summary is not None:
+        for kind in counts:
+            m = re.search(rf"(\d+) {kind}", summary)
+            if m:
+                counts[kind] = int(m.group(1))
+    ran = counts["passed"] + counts["failed"] + counts["error"]
+    # a lane that self-skips entirely (no TPU available) is a distinct,
+    # successful 'skipped' outcome — not a failure
+    all_skipped = proc.returncode in (0, 5) and ran == 0 and counts["skipped"] > 0
     result = {
         "cmd": "pytest tpu_tests/ -q",
         "rc": proc.returncode,
         "ok": proc.returncode == 0 and counts["passed"] > 0,
+        "outcome": (
+            "skipped" if all_skipped
+            else "passed" if proc.returncode == 0 and counts["passed"] > 0
+            else "failed"
+        ),
         "duration_s": round(dur, 1),
         **counts,
         "tail": "\n".join(tail.strip().splitlines()[-5:]),
@@ -48,7 +66,7 @@ def main():
     with open(args.out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
-    return 0 if result["ok"] else 1
+    return 0 if result["outcome"] in ("passed", "skipped") else 1
 
 
 if __name__ == "__main__":
