@@ -252,6 +252,429 @@ def fused_weighted_update(cost_total: jax.Array, noise_flat: jax.Array, lambda_)
 
 
 # ---------------------------------------------------------------------------
+# Transposed (K-on-lanes) fully-fused solve — the measured-best kernel design
+# ---------------------------------------------------------------------------
+
+
+def transposed_eligible(config: MPPIConfig, has_terminal: bool,
+                        has_specific_sampler: bool, mesh) -> bool:
+    """Static eligibility for :func:`make_transposed_fused_solve` (the jaxpr
+    support probe happens inside the factory): M=1, no rollout storage, no
+    user-injected rows (``sample_null_action`` is handled in-kernel),
+    deterministic unparameterized dynamics, f32, unsharded."""
+    return (
+        config.M == 1
+        and not has_terminal
+        and not has_specific_sampler
+        and not config.stochastic_dynamics
+        and not config.parameterized_dynamics
+        and mesh is None
+        and config.dtype == jnp.float32
+    )
+
+
+def _transposed_block(K: int, D: int) -> tuple:
+    """K block for the transposed kernel.  The working set is ~6 live
+    (D-padded-to-8-sublanes, block) f32 buffers; the round-2 study measured
+    the single-block configuration fastest at the flagship shape (no grid
+    re-issue overhead), so take the whole padded K when it fits in ~12 MB of
+    VMEM and shrink by halving otherwise."""
+    D_pad = ((D + 7) // 8) * 8
+    block = ((K + 127) // 128) * 128
+    while block > 128 and 6 * D_pad * block * 4 > 12 * 2**20:
+        block //= 2
+        block = ((block + 127) // 128) * 128
+    return block, ((K + block - 1) // block) * block
+
+
+def make_transposed_fused_solve(
+    config: MPPIConfig,
+    dynamics: Callable,  # wrapped: (dyn_params, state, u, t, key) -> next_state
+    running_cost: Callable,  # wrapped: (state, u, t) -> cost
+    block_k: int = None,
+    rng_in_kernel: bool = True,
+):
+    """The ENTIRE MPPI iteration as ONE transposed-layout Pallas kernel, for
+    arbitrary traceable dynamics/costs.
+
+    This productizes (and improves on) the round-2 kernel study's best design
+    (docs/DESIGN.md §6).  Measured on v5e at the flagship shape (K=10k,
+    T=30): **24.1 µs vs 25.2 µs XLA (1.04x)** for linear dynamics and
+    **71.6 µs vs 117.1 µs (1.64x)** for a 2-layer MLP — the first kernel to
+    beat the XLA pipeline on this problem class.  The layout: the sample
+    axis K rides the LANE dimension — noise ``(D, block_k)``, state
+    ``(nx, block_k)``, cost ``(1, block_k)`` — so every elementwise pass is
+    lane-dense even at control-sized nx/nu, and the weighted update is a
+    full-contraction ``(D, bk) @ (bk, 1)`` MXU matvec.  In-kernel hardware
+    PRNG: the noise tensor never exists in HBM (the hybrid XLA-noise variant
+    measured slower, §6).  User dynamics/costs are traced to a jaxpr once
+    (closure constants hoisted to kernel inputs, as in
+    :func:`make_fused_rollout`) and evaluated *batch-axis-last* by
+    :mod:`..ops.batch_last` — no in-kernel transposes, and the user's own
+    matmul precision is preserved (default bf16-input MXU, matching what XLA
+    does to the same dots in the scan path).
+
+    Raises :class:`~pytorch_mppi_tpu.ops.batch_last.UnsupportedPrimitive` at
+    build time when the traced user code falls outside the transform's
+    vocabulary; callers fall back to the XLA scan path.
+
+    :returns: ``solve(seed_or_bits, x0T (nx, K), U2 (D,), op, mu_t (D,),
+        lo_t (D,), hi_t (D,), a_flat (D,), lambda) ->
+        (delta (D,), m (), s (), cost_total (K,))`` where ``U_new = U +
+        (delta / s).reshape(T, nu)``; ``op`` is the (D,) per-lane scale for
+        white diagonal sigma, else the (D, D) transposed mixing operator
+        ``kron(A_rho, chol)`` applied as ``op @ z``.  With
+        ``rng_in_kernel=False`` (CPU interpret tests) ``seed_or_bits`` is
+        int32 bits of shape (D, K_pad) — or (D, K_pad//2) under antithetic.
+    """
+    from . import batch_last as BL
+
+    K, T, nx, nu = config.K, config.T, config.nx, config.nu
+    D = T * nu
+    dtype = config.dtype
+    if dtype != jnp.float32:
+        raise ValueError("transposed fused solve requires float32")
+    if block_k is None:
+        block_k, K_pad = _transposed_block(K, D)
+    else:
+        if block_k % 128:
+            raise ValueError(f"block_k={block_k} must be a multiple of 128")
+        K_pad = ((K + block_k - 1) // block_k) * block_k
+    nblocks = K_pad // block_k
+    antithetic = config.antithetic
+    diag_fast = config.diag_sigma and not config.noise_rho
+    null_action = config.sample_null_action
+    u_scale = float(config.u_scale)
+    bh = block_k // 2 if antithetic else block_k
+
+    def _body(state, u, t):
+        ns = dynamics(None, state, u, t, None)
+        c = running_cost(ns, u, t)
+        return ns, c
+
+    closed = jax.make_jaxpr(_body)(
+        jnp.zeros((block_k, nx), dtype),
+        jnp.zeros((block_k, nu), dtype),
+        jnp.zeros((), jnp.int32),
+    )
+    consts = closed.consts
+    ok, msg = BL.supports_batch_last(
+        closed.jaxpr, consts,
+        [
+            jax.ShapeDtypeStruct((block_k, nx), dtype),
+            jax.ShapeDtypeStruct((block_k, nu), dtype),
+            jax.ShapeDtypeStruct((), jnp.int32),
+        ],
+        [True, True, False], block_k,
+    )
+    if not ok:
+        raise BL.UnsupportedPrimitive(msg)
+
+    const_specs, const_inputs, const_unpack = [], [], []
+    for cst in consts:
+        cst = jnp.asarray(cst)
+        if cst.ndim == 0:
+            const_inputs.append(cst.reshape(1))
+            const_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            const_unpack.append(lambda ref: ref[0])
+        else:
+            const_inputs.append(cst)
+            const_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            const_unpack.append(lambda ref: ref[...])
+
+    def kernel(*refs):
+        (lead_ref, x0_ref, U_ref, op_ref, mu_ref, lo_ref, hi_ref, a_ref,
+         lam_ref, *rest) = refs
+        const_refs = rest[: len(const_specs)]
+        cost_out, delta_ref, m_ref, s_ref, acc_ref = rest[len(const_specs):]
+        cvals = [unpack(r) for unpack, r in zip(const_unpack, const_refs)]
+        i = pl.program_id(0)
+
+        # -- noise: in-kernel hardware bits -> N(0,1), K on lanes -------------
+        if rng_in_kernel:
+            pltpu.prng_seed(lead_ref[0] + i, lead_ref[1])
+            bits = pltpu.prng_random_bits((D, bh))
+        else:
+            bits = lead_ref[...]
+        z = _bits_to_normal(bits, use_pltpu=rng_in_kernel and not _interpret())
+        if antithetic:
+            # lane-half mirroring: pairs (k, k + block/2) anti-correlated
+            z = jnp.concatenate([z, -z], axis=1)
+        if diag_fast:
+            noise = z * op_ref[...] + mu_ref[...]  # (D,1) broadcast over lanes
+        else:
+            noise = jnp.dot(
+                op_ref[...], z, preferred_element_type=dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            ) + mu_ref[...]
+
+        U_col = U_ref[...]  # (D, 1)
+        perturbed = U_col + noise
+        if null_action:
+            col = jax.lax.broadcasted_iota(jnp.int32, (D, block_k), 1)
+            perturbed = jnp.where((col == 0) & (i == 0), 0.0, perturbed)
+        perturbed = jnp.clip(perturbed, lo_ref[...], hi_ref[...])
+        noise = perturbed - U_col  # rectified (mppi.py:383-385)
+        n_for_cost = jnp.abs(noise) if config.noise_abs_cost else noise
+        pert_cost = jnp.sum(n_for_cost * a_ref[...], axis=0, keepdims=True)
+
+        # -- rollout: batch-last evaluation of the user's traced jaxpr --------
+        state = x0_ref[...]  # (nx, block_k), stays in VMEM all horizon
+        total = pert_cost
+        for t in range(T):
+            u_t = perturbed[t * nu:(t + 1) * nu, :]  # (nu, bk) sublane slice
+            if u_scale != 1.0:
+                u_t = u_t * u_scale
+            state, c = BL.eval_jaxpr_batch_last(
+                closed.jaxpr, cvals, [state, u_t, jnp.int32(t)],
+                [True, True, False], block_k,
+            )
+            total = total + c.reshape(1, block_k)
+        if K_pad != K:
+            gid = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1) \
+                + i * block_k
+            total = jnp.where(gid < K, total, jnp.inf)
+        cost_out[...] = total
+
+        # -- flash-softmax weighted update (mppi.py:254-270) ------------------
+        logits = -cost_out[...] / lam_ref[0]
+        blk_m = jnp.max(logits)
+
+        @pl.when(i == 0)
+        def _():
+            m_ref[0] = -jnp.inf
+            s_ref[0] = 0.0
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        m_old = m_ref[0]
+        m_new = jnp.maximum(m_old, blk_m)
+        sc = jnp.exp(m_old - m_new)
+        w = jnp.exp(logits - m_new)  # (1, block_k)
+        s_ref[0] = s_ref[0] * sc + jnp.sum(w)
+        # weighted delta: full-contraction (D, bk)@(bk, 1) MXU matvec
+        acc_ref[...] = acc_ref[...] * sc + jnp.dot(
+            noise, w.reshape(block_k, 1), preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        m_ref[0] = m_new
+
+        @pl.when(i == nblocks - 1)
+        def _():
+            delta_ref[...] = acc_ref[...]
+
+    lead_spec = (
+        pl.BlockSpec(memory_space=pltpu.SMEM)
+        if rng_in_kernel
+        else pl.BlockSpec((D, bh), lambda i: (0, i), memory_space=pltpu.VMEM)
+    )
+    op_is_diag = diag_fast
+    fused = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            lead_spec,
+            pl.BlockSpec((nx, block_k), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # U (D, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # op (D, 1) or (D, D)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mu (D, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lo (D, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # hi (D, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # a_flat (D, 1)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lambda (1,)
+            *const_specs,
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, K_pad), dtype),
+            jax.ShapeDtypeStruct((D, 1), dtype),
+            jax.ShapeDtypeStruct((1,), dtype),
+            jax.ShapeDtypeStruct((1,), dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((D, 1), dtype)],
+        interpret=False if rng_in_kernel else _interpret(),
+    )
+
+    def solve(seed_or_bits, x0T, U2, op, mu_t, lo_t, hi_t, a_flat, lambda_):
+        x0T = jnp.asarray(x0T, dtype)
+        if K_pad != K:
+            x0T = jnp.pad(x0T, ((0, 0), (0, K_pad - K)))
+        cost_pad, delta, m, s = fused(
+            seed_or_bits,
+            x0T,
+            jnp.asarray(U2, dtype).reshape(D, 1),
+            op.reshape(D, 1) if op_is_diag else op,
+            jnp.asarray(mu_t, dtype).reshape(D, 1),
+            jnp.asarray(lo_t, dtype).reshape(D, 1),
+            jnp.asarray(hi_t, dtype).reshape(D, 1),
+            jnp.asarray(a_flat, dtype).reshape(D, 1),
+            jnp.asarray(lambda_, dtype).reshape(1),
+            *const_inputs,
+        )
+        return delta.reshape(D), m[0], s[0], cost_pad.reshape(K_pad)[:K]
+
+    return solve
+
+
+# ---------------------------------------------------------------------------
+# Fused sampling front-end: in-kernel RNG + bounds + action cost
+# ---------------------------------------------------------------------------
+
+
+def sampler_eligible(config, has_specific_sampler: bool, mesh) -> bool:
+    """The sampling front-end only touches noise/actions, so unlike the fully
+    fused solve it composes with terminal costs, M>1, stochastic dynamics and
+    parameterized dynamics (the rollout stays on the XLA scan path).  Only a
+    specific-action sampler (user-computed rows must be injected between
+    sampling and clamping), sharding (Pallas under GSPMD needs shard_map) and
+    non-f32 dtypes are out."""
+    return (
+        not has_specific_sampler
+        and mesh is None
+        and config.dtype == jnp.float32
+    )
+
+
+def make_fused_sampler(config: MPPIConfig, block_k: int = None,
+                       rng_in_kernel: bool = True):
+    """Build the fused sampling front-end: one kernel pass producing the
+    clamped perturbed actions and the action perturbation cost.
+
+    Motivation (measured, docs/DESIGN.md §5): noise generation is ~16 µs of
+    the ~29 µs flagship solve.  The XLA pipeline materializes the u32 bits,
+    the normals, the perturbed actions AND the rectified noise in HBM
+    (~5 round trips over (K, D) tensors); here the hardware PRNG generates
+    bits directly in VMEM and a single pass writes only ``perturbed2`` —
+    the one tensor the rollout actually needs — plus the (K,) action cost.
+    The rectified-noise tensor is never materialized: downstream consumers
+    use ``omega @ perturbed - U`` (exact because omega sums to 1) and
+    ``noise = perturbed - U`` is recomputed lazily for artifacts only.
+
+    Covers the whole reference sampling pipeline (mppi.py:375-417): N(mu,
+    Sigma) draws (diagonal fast path, full-covariance cholesky, AR(1)
+    temporal correlation via the same (D, D) mixing operator, antithetic
+    mirroring), ``sample_null_action`` row zeroing, bound clamping,
+    rectified-Gaussian noise semantics and the (abs-)action cost.
+
+    :returns: ``sample(seed_or_bits, U2 (D,), op, mu_t (D,), lo_t (D,),
+        hi_t (D,), a_flat (D,)) -> (perturbed2 (K, D), pert_cost (K,))``
+        where ``op`` is the (1, D) diagonal lane scale when
+        ``config.diag_sigma and not config.noise_rho``, else the (D, D)
+        mixing matrix ``kron(A_rho^T, chol^T)`` applied as ``z @ op``.
+        With ``rng_in_kernel=False`` (CPU interpret tests), ``seed_or_bits``
+        is a pre-generated int32 bits array of shape (K_pad, D) — or
+        (K_pad//2, D) under antithetic.
+    """
+    K, T, nu = config.K, config.T, config.nu
+    D = T * nu
+    dtype = config.dtype
+    if dtype != jnp.float32:
+        raise ValueError("fused sampler requires float32")
+    if block_k is None:
+        block_k = 1024 if K >= 1024 else 128
+    K_pad = ((K + block_k - 1) // block_k) * block_k
+    nblocks = K_pad // block_k
+    antithetic = config.antithetic
+    if antithetic and block_k % 2:
+        raise ValueError("antithetic sampling needs an even K block")
+    diag_fast = config.diag_sigma and not config.noise_rho
+    null_action = config.sample_null_action
+    bh = block_k // 2 if antithetic else block_k
+
+    def kernel(lead_ref, U_ref, op_ref, mu_ref, lo_ref, hi_ref, a_ref,
+               pert_out, cost_out):
+        i = pl.program_id(0)
+        if rng_in_kernel:
+            # distinct stream per (solve, block): fold the block index into
+            # the first seed word (the words come from a threefry split —
+            # effectively random 64 bits, adjacent-seed overlap immaterial)
+            pltpu.prng_seed(lead_ref[0] + i, lead_ref[1])
+            bits = pltpu.prng_random_bits((bh, D))
+        else:
+            bits = lead_ref[...]
+        z = _bits_to_normal(bits, use_pltpu=rng_in_kernel and not _interpret())
+        if antithetic:
+            # adjacent-half mirroring within the block: marginals stay
+            # N(0, 1), pairs (j, j + block/2) perfectly anti-correlated —
+            # same variance-reduction property as the XLA path's global
+            # (k, K/2 + k) pairing, different pair arrangement
+            z = jnp.concatenate([z, -z], axis=0)
+        if diag_fast:
+            noise = z * op_ref[...] + mu_ref[...]
+        else:
+            # per-timestep correlation (+ optional AR(1) time mixing) as one
+            # MXU matmul against the (D, D) block operator; HIGHEST precision
+            # — default bf16 inputs put ~0.4% error on the noise itself
+            noise = jnp.dot(
+                z, op_ref[...], preferred_element_type=dtype,
+                precision=jax.lax.Precision.HIGHEST,
+            ) + mu_ref[...]
+        U_row = U_ref[...]  # (1, D)
+        perturbed = U_row + noise
+        if null_action:
+            row = jax.lax.broadcasted_iota(jnp.int32, (block_k, D), 0)
+            perturbed = jnp.where((row == 0) & (i == 0), 0.0, perturbed)
+        perturbed = jnp.clip(perturbed, lo_ref[...], hi_ref[...])
+        pert_out[...] = perturbed
+        # rectified-Gaussian action cost (mppi.py:383-385, 407-417); the
+        # rectified noise itself stays in VMEM
+        noise_r = perturbed - U_row
+        n_for_cost = jnp.abs(noise_r) if config.noise_abs_cost else noise_r
+        cost_out[...] = jnp.sum(n_for_cost * a_ref[...], axis=1).reshape(
+            1, block_k
+        )
+
+    lead_spec = (
+        pl.BlockSpec(memory_space=pltpu.SMEM)
+        if rng_in_kernel
+        else pl.BlockSpec((bh, D), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    )
+    fused = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            lead_spec,
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # U flat (1, D)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # scale (1, D) or C (D, D)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mu tiled (1, D)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lo tiled (1, D)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # hi tiled (1, D)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # a_flat (1, D)
+        ],
+        out_specs=(
+            pl.BlockSpec((block_k, D), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block_k), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((K_pad, D), dtype),
+            jax.ShapeDtypeStruct((1, K_pad), dtype),
+        ),
+        interpret=_interpret() if not rng_in_kernel else False,
+    )
+
+    def sample(seed_or_bits, U2, op, mu_t, lo_t, hi_t, a_flat):
+        pert, cost = fused(
+            seed_or_bits,
+            jnp.asarray(U2, dtype).reshape(1, D),
+            op if op.ndim == 2 and op.shape[0] == D else op.reshape(1, D),
+            jnp.asarray(mu_t, dtype).reshape(1, D),
+            jnp.asarray(lo_t, dtype).reshape(1, D),
+            jnp.asarray(hi_t, dtype).reshape(1, D),
+            jnp.asarray(a_flat, dtype).reshape(1, D),
+        )
+        if K_pad != K:
+            pert = pert[:K]
+            cost = cost[:, :K]
+        return pert, cost.reshape(-1)
+
+    return sample
+
+
+# ---------------------------------------------------------------------------
 # Fully-fused solve: in-kernel RNG + bounds + action cost + rollout + update
 # ---------------------------------------------------------------------------
 

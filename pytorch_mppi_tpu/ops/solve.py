@@ -21,11 +21,14 @@ the reference's init-time closure resolution (mppi.py:120-199).
 from __future__ import annotations
 
 import functools
+import logging
 from typing import Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 from jax import lax
+
+logger = logging.getLogger(__name__)
 
 from ..config import (
     Artifacts,
@@ -416,8 +419,17 @@ def make_mppi_step(
     single-device solve.
 
     With ``use_pallas`` (and an eligible config — M=1, no terminal cost/sampler,
-    deterministic f32, unsharded), the rollout+cost runs as one fused Pallas
-    kernel and the weighting+update as a streaming flash-softmax kernel.
+    deterministic f32, unsharded), the whole iteration runs as ONE transposed
+    K-on-lanes Pallas kernel (in-kernel hardware PRNG through the
+    flash-softmax update; arbitrary traceable dynamics via batch-axis-last
+    jaxpr evaluation).  Measured on v5e (docs/DESIGN.md §6): ~1.04x the XLA
+    path at the flagship shape and ~1.6x for MLP dynamics.  It stays opt-in
+    because it trades surface for speed: its hardware-PRNG noise stream is
+    TPU-only (no CPU-reproducible stream) and the noise/perturbed-action
+    artifacts are never materialized in HBM, so those fields are None.
+    ``use_pallas="rollout"`` selects the legacy round-1 kernels (fused
+    rollout + streaming weighted update) kept for the decision record.
+    Ineligible configs fall back to the XLA scan path with a warning.
     """
     if config.num_iterations < 1:
         raise ValueError(
@@ -429,19 +441,78 @@ def make_mppi_step(
     dtype = config.dtype
     cset = make_constrainer(mesh)
 
-    # null-action/specific *sampling* only edits perturbed actions before the
-    # kernel and does not affect eligibility; the per-step specific_dynamics
-    # hook and terminal-cost storage do.
     fused_rollout = None
-    if use_pallas and mesh is None:
+    transposed_solve = None
+    if use_pallas:
         from . import pallas_rollout as PR
 
-        if PR.pallas_eligible(
+        if use_pallas == "rollout":
+            # legacy round-1 kernels: null-action/specific *sampling* only
+            # edits perturbed actions before the kernel and does not affect
+            # eligibility; the per-step specific_dynamics hook and
+            # terminal-cost storage do.
+            if mesh is None and PR.pallas_eligible(
+                config,
+                has_terminal=terminal_state_cost is not None,
+                has_specific=specific_dynamics is not None,
+            ):
+                fused_rollout = PR.make_fused_rollout(config, dyn, cost)
+                logger.warning(
+                    "use_pallas='rollout' selects the round-1 K-on-sublanes "
+                    "kernels, measured ~10x slower than the XLA path at the "
+                    "flagship shape (docs/DESIGN.md §6) — kept for the "
+                    "decision record only"
+                )
+            else:
+                logger.warning(
+                    "use_pallas='rollout' requested but the configuration is "
+                    "ineligible (terminal cost / specific dynamics / M>1 / "
+                    "stochastic / non-f32 / sharded); using the XLA scan path"
+                )
+        elif PR._interpret():
+            # the transposed kernel's in-kernel hardware PRNG has no CPU
+            # interpret rule; kernel-level parity runs in the CPU lane via
+            # rng_in_kernel=False (tests/test_pallas_transposed.py)
+            logger.warning(
+                "use_pallas: the fused kernel needs the TPU hardware PRNG; "
+                "using the XLA scan path on backend %r (use "
+                "use_pallas='rollout' for the interpretable legacy kernels)",
+                jax.default_backend(),
+            )
+        elif PR.transposed_eligible(
             config,
             has_terminal=terminal_state_cost is not None,
-            has_specific=specific_dynamics is not None,
+            has_specific_sampler=(
+                sample_trajectories is not None
+                or specific_dynamics is not None
+            ),
+            mesh=mesh,
         ):
-            fused_rollout = PR.make_fused_rollout(config, dyn, cost)
+            from . import batch_last as BL
+
+            try:
+                transposed_solve = PR.make_transposed_fused_solve(
+                    config, dyn, cost
+                )
+                logger.info(
+                    "use_pallas: routing to the transposed K-on-lanes fused "
+                    "kernel (measured ~1.04x the XLA path at the flagship "
+                    "shape, ~1.6x for MLP dynamics — docs/DESIGN.md §6); "
+                    "its own hardware-PRNG noise stream; noise/perturbed "
+                    "artifacts are not materialized"
+                )
+            except BL.UnsupportedPrimitive as e:
+                logger.warning(
+                    "use_pallas: dynamics/cost use an operation outside the "
+                    "batch-last kernel vocabulary (%s); using the XLA scan "
+                    "path", e,
+                )
+        else:
+            logger.warning(
+                "use_pallas requested but the configuration is ineligible "
+                "(terminal cost / specific sampler / M>1 / stochastic / "
+                "parameterized / non-f32 / sharded); using the XLA scan path"
+            )
 
     K, T, nu = config.K, config.T, config.nu
     D = T * nu
@@ -467,7 +538,54 @@ def make_mppi_step(
         action = _select_action(config, U)
         return MPPIState(U=U, key=key), action, artifacts
 
+    def _one_iteration_fused(params, U, x0, k_noise):
+        """The whole iteration as one transposed-layout kernel call: derive
+        the tiny per-solve operands in XLA (cholesky, mixing operator, action
+        cost vector — all O(D^2) at most), then sample/rollout/weight/update
+        entirely in VMEM."""
+        from . import pallas_rollout as PR
+
+        chol, sigma_inv = _sigma_factors(params.noise_sigma)
+        if config.diag_sigma and not config.noise_rho:
+            op = jnp.tile(jnp.diagonal(chol).astype(dtype), T)  # (D,) scale
+        else:
+            mix = (
+                ar1_mixing(T, config.noise_rho, dtype)
+                if config.noise_rho
+                else jnp.eye(T, dtype=dtype)
+            )
+            # transposed mixing operator: noise_T = kron(A, chol) @ z_T
+            # (the XLA path's z2 @ kron(A^T, chol^T), transposed)
+            op = jnp.kron(mix, chol.astype(dtype))
+        mu_t = jnp.tile(params.noise_mu, T)
+        lo2 = jnp.tile(jnp.broadcast_to(params.u_min, (nu,)).astype(dtype), T)
+        hi2 = jnp.tile(jnp.broadcast_to(params.u_max, (nu,)).astype(dtype), T)
+        a_flat = (params.lambda_ * (U @ sigma_inv.T)).reshape(D)
+        if x0.ndim == 2:
+            x0T = x0.T
+        else:
+            x0T = jnp.broadcast_to(x0[:, None], (x0.shape[-1], K))
+        seed = PR.key_to_seed(k_noise)
+        delta, m, s, cost_total = transposed_solve(
+            seed, x0T, U.reshape(D), op, mu_t, lo2, hi2, a_flat,
+            params.lambda_,
+        )
+        ctnz, omega = PR.weighting_from_stats(cost_total, params.lambda_, m, s)
+        U_new = U + (delta / s).reshape(T, nu)
+        artifacts = Artifacts(
+            cost_total=cost_total,
+            cost_total_non_zero=ctnz,
+            omega=omega,
+            noise=None,
+            perturbed_action=None,
+            states=None,
+            actions=None,
+        )
+        return U_new, artifacts
+
     def _one_iteration(params, U, x0, info, k_noise, k_roll, dyn_params):
+        if transposed_solve is not None:
+            return _one_iteration_fused(params, U, x0, k_noise)
         # The sampling/bounding/weighting pipeline runs in flat (K, T·nu) 2-D
         # layout: TPU tiles the two minor dims (8, 128), so a (K, T, nu) tensor
         # with nu=2 lane-pads 64x on every elementwise pass.  Lane-dense flat

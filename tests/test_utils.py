@@ -286,7 +286,9 @@ class TestViz:
 class TestPallasPath:
     """use_pallas correctness on CPU (interpreter mode) vs the scan path."""
 
-    def test_pallas_matches_scan_f32(self):
+    def test_pallas_rollout_matches_scan_f32(self):
+        """The legacy round-1 kernels (use_pallas='rollout') share the XLA
+        noise stream, so per-step actions must match the scan path."""
         B32 = B.astype(jnp.float32)
         GOAL32 = GOAL.astype(jnp.float32)
         dyn32 = lambda s, a: s + a @ B32.T
@@ -294,7 +296,7 @@ class TestPallasPath:
         eye = jnp.eye(2, dtype=jnp.float32)
         kw = dict(num_samples=256, horizon=8, lambda_=1.0, seed=3)
         c_ref = MPPI(dyn32, cost32, 2, eye, **kw)
-        c_pal = MPPI(dyn32, cost32, 2, eye, use_pallas=True, **kw)
+        c_pal = MPPI(dyn32, cost32, 2, eye, use_pallas="rollout", **kw)
         state = jnp.array([-3.0, -2.0], jnp.float32)
         for _ in range(3):
             a1 = c_ref.command(state)
@@ -304,6 +306,23 @@ class TestPallasPath:
             )
         np.testing.assert_allclose(
             np.asarray(c_ref.omega), np.asarray(c_pal.omega), rtol=1e-4, atol=1e-7
+        )
+
+    def test_pallas_true_falls_back_on_cpu(self):
+        """use_pallas=True needs the TPU hardware PRNG: on CPU the controller
+        must warn and run the XLA scan path — bit-identical to use_pallas=False
+        (same stream, same program)."""
+        B32 = B.astype(jnp.float32)
+        GOAL32 = GOAL.astype(jnp.float32)
+        dyn32 = lambda s, a: s + a @ B32.T
+        cost32 = lambda s, a: ((GOAL32 - s) ** 2).sum(axis=-1)
+        eye = jnp.eye(2, dtype=jnp.float32)
+        kw = dict(num_samples=64, horizon=6, lambda_=1.0, seed=3)
+        c_ref = MPPI(dyn32, cost32, 2, eye, **kw)
+        c_pal = MPPI(dyn32, cost32, 2, eye, use_pallas=True, **kw)
+        state = jnp.array([-3.0, -2.0], jnp.float32)
+        np.testing.assert_array_equal(
+            np.asarray(c_ref.command(state)), np.asarray(c_pal.command(state))
         )
 
     def test_pallas_falls_back_when_ineligible(self):

@@ -30,14 +30,15 @@ def cost(state, action):
 
 
 class TestCompiledKernels:
-    def test_pallas_matches_scan_compiled(self):
-        """`use_pallas=True` on the chip (interpret=False): the fused rollout +
-        flash-softmax path must match the XLA scan path to f32 tolerance over
-        a multi-step loop (judge item 1 done-criterion)."""
+    def test_pallas_rollout_matches_scan_compiled(self):
+        """`use_pallas='rollout'` on the chip (interpret=False): the legacy
+        fused rollout + flash-softmax path shares the XLA noise stream, so it
+        must match the scan path to f32 tolerance over a multi-step loop."""
         assert not PR._interpret(), "must run compiled on the TPU backend"
         kw = dict(num_samples=256, horizon=8, lambda_=1.0, seed=3)
         c_ref = MPPI(dyn, cost, 2, jnp.eye(2, dtype=DT), **kw)
-        c_pal = MPPI(dyn, cost, 2, jnp.eye(2, dtype=DT), use_pallas=True, **kw)
+        c_pal = MPPI(dyn, cost, 2, jnp.eye(2, dtype=DT), use_pallas="rollout",
+                     **kw)
         state = jnp.array([-3.0, -2.0], DT)
         for _ in range(3):
             a1 = c_ref.command(state)
@@ -53,6 +54,132 @@ class TestCompiledKernels:
             np.asarray(c_ref.omega), np.asarray(c_pal.omega), rtol=1e-3,
             atol=1e-6,
         )
+
+    def test_transposed_fused_closed_loop(self):
+        """`use_pallas=True` routes to the transposed K-on-lanes fused kernel
+        (in-kernel hardware PRNG — its own noise stream, so the comparison is
+        behavioral): the closed loop must converge like the XLA controller,
+        artifacts must satisfy their contracts, and the solve must be
+        seed-deterministic."""
+        kw = dict(num_samples=512, horizon=10, lambda_=1.0, seed=3,
+                  u_max=jnp.array([1.0, 1.0], DT))
+        c_pal = MPPI(dyn, cost, 2, jnp.eye(2, dtype=DT), use_pallas=True, **kw)
+        state = jnp.array([-3.0, -2.0], DT)
+        for _ in range(12):
+            a = c_pal.command(state)
+            state = dyn(state[None], a[None])[0]
+        assert float(jnp.linalg.norm(GOAL - state)) < 1.0
+        assert c_pal.noise is None and c_pal.perturbed_action is None
+        np.testing.assert_allclose(float(jnp.sum(c_pal.omega)), 1.0, rtol=1e-4)
+        assert np.isfinite(np.asarray(c_pal.cost_total)).all()
+        # same seed -> identical trajectory of commands
+        c2 = MPPI(dyn, cost, 2, jnp.eye(2, dtype=DT), use_pallas=True, **kw)
+        c3 = MPPI(dyn, cost, 2, jnp.eye(2, dtype=DT), use_pallas=True, **kw)
+        s0 = jnp.array([-3.0, -2.0], DT)
+        np.testing.assert_array_equal(
+            np.asarray(c2.command(s0)), np.asarray(c3.command(s0))
+        )
+
+    def test_transposed_solve_compiled_pregen_bits(self):
+        """The generalized transposed fused solve, compiled on the chip with
+        pre-generated bits, against the identical plain-jnp math — Mosaic
+        lowering parity for the batch-last evaluation path."""
+        from pytorch_mppi_tpu.ops.batch_last import eval_jaxpr_batch_last  # noqa: F401
+
+        K, T, NU = 256, 6, 2
+        D = T * NU
+        config = MPPIConfig(nx=2, nu=NU, K=K, T=T, dtype=DT, diag_sigma=True)
+        wdyn = S.wrap_dynamics(config, dyn)
+        wcost = S.wrap_cost(config, cost)
+        solve = jax.jit(PR.make_transposed_fused_solve(
+            config, wdyn, wcost, rng_in_kernel=False))
+        bits = jax.random.randint(
+            jax.random.PRNGKey(3), (D, K), -(2**31), 2**31 - 1, jnp.int32)
+        U2 = jax.random.normal(jax.random.PRNGKey(5), (D,), DT) * 0.1
+        ones = jnp.ones((D,), DT)
+        lam = jnp.asarray(0.9, DT)
+        a_flat = U2 * lam
+        x0 = jnp.array([-1.0, 0.5], DT)
+        x0T = jnp.broadcast_to(x0[:, None], (2, K))
+        delta, m, s, ct = solve(bits, x0T, U2, ones, 0 * ones, -ones, ones,
+                                a_flat, lam)
+
+        z = PR._bits_to_normal(bits, use_pltpu=False)
+        noise2 = z.T
+        pert2 = jnp.clip(U2[None] + noise2, -ones, ones)
+        noise2 = pert2 - U2[None]
+        pc = noise2 @ a_flat
+        rc, _, _ = S.rollout_costs(config, wdyn, wcost, None, None, None, x0,
+                                   pert2.reshape(K, T, NU),
+                                   jax.random.PRNGKey(0))
+        ct_ref = rc + pc
+        _, om = S.compute_weighting(ct_ref, lam)
+        np.testing.assert_allclose(np.asarray(ct), np.asarray(ct_ref),
+                                   rtol=2e-4, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(delta / s),
+                                   np.asarray(om @ noise2), rtol=2e-3,
+                                   atol=1e-4)
+
+    def test_transposed_solve_mlp_dynamics_compiled(self):
+        """Generalization evidence on the chip: an MLP dynamics (matmuls +
+        tanh + broadcast bias) through the batch-last transform, compiled,
+        against the scan path."""
+        K, T, NU = 256, 5, 2
+        D = T * NU
+        rs = np.random.RandomState(0)
+        W1 = jnp.asarray(rs.randn(4, 32) * 0.3, DT)
+        b1 = jnp.asarray(rs.randn(32) * 0.1, DT)
+        W2 = jnp.asarray(rs.randn(32, 2) * 0.3, DT)
+        mlp = lambda s, a: s + jnp.tanh(jnp.concatenate([s, a], -1) @ W1 + b1) @ W2
+        config = MPPIConfig(nx=2, nu=NU, K=K, T=T, dtype=DT, diag_sigma=True)
+        wdyn = S.wrap_dynamics(config, mlp)
+        wcost = S.wrap_cost(config, cost)
+        solve = jax.jit(PR.make_transposed_fused_solve(
+            config, wdyn, wcost, rng_in_kernel=False))
+        bits = jax.random.randint(
+            jax.random.PRNGKey(7), (D, K), -(2**31), 2**31 - 1, jnp.int32)
+        U2 = jnp.zeros((D,), DT)
+        ones = jnp.ones((D,), DT)
+        lam = jnp.asarray(1.0, DT)
+        x0 = jnp.array([-1.0, 0.5], DT)
+        x0T = jnp.broadcast_to(x0[:, None], (2, K))
+        delta, m, s, ct = solve(bits, x0T, U2, ones, 0 * ones, -2 * ones,
+                                2 * ones, 0 * ones, lam)
+        z = PR._bits_to_normal(bits, use_pltpu=False)
+        pert2 = jnp.clip(z.T, -2.0, 2.0)
+        rc, _, _ = S.rollout_costs(config, wdyn, wcost, None, None, None, x0,
+                                   pert2.reshape(K, T, NU),
+                                   jax.random.PRNGKey(0))
+        np.testing.assert_allclose(np.asarray(ct), np.asarray(rc), rtol=1e-3,
+                                   atol=5e-3)
+
+    def test_fused_sampler_compiled(self):
+        """The fused sampling front-end (measured-and-rejected, kept with the
+        decision record): compiled hardware-PRNG path produces valid draws and
+        the pregen-bits path matches plain jnp exactly."""
+        K, T, NU = 1024, 6, 2
+        D = T * NU
+        config = MPPIConfig(nx=2, nu=NU, K=K, T=T, dtype=DT, diag_sigma=True)
+        sampler = jax.jit(PR.make_fused_sampler(config, rng_in_kernel=False))
+        bits = jax.random.randint(
+            jax.random.PRNGKey(3), (K, D), -(2**31), 2**31 - 1, jnp.int32)
+        U2 = jax.random.normal(jax.random.PRNGKey(4), (D,), DT) * 0.2
+        ones = jnp.ones((D,), DT)
+        pert, pc = sampler(bits, U2, ones, 0 * ones, -ones, ones, U2)
+        z = PR._bits_to_normal(bits, use_pltpu=False)
+        pert_ref = jnp.clip(U2[None] + z, -1.0, 1.0)
+        pc_ref = (pert_ref - U2[None]) @ U2
+        np.testing.assert_allclose(np.asarray(pert), np.asarray(pert_ref),
+                                   rtol=1e-5, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(pc), np.asarray(pc_ref),
+                                   rtol=1e-4, atol=1e-4)
+        # hardware-PRNG path: correct moments
+        hw = jax.jit(PR.make_fused_sampler(config, rng_in_kernel=True))
+        seed = PR.key_to_seed(jax.random.PRNGKey(11))
+        pert_hw, _ = hw(seed, 0 * U2, ones, 0 * ones, -10 * ones, 10 * ones,
+                        0 * U2)
+        zs = np.asarray(pert_hw)
+        assert abs(zs.mean()) < 0.02 and abs(zs.std() - 1.0) < 0.02
 
     def test_fused_solve_compiled_pregen_bits(self):
         """The fully-fused single-kernel solve, compiled, with pre-generated
