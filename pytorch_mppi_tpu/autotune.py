@@ -45,12 +45,18 @@ class EvaluationResult(typing.NamedTuple):
     iteration: int = None
 
 
-_VMAPPABLE_PARAMS = frozenset({"sigma", "mu", "lambda"})
+_VMAPPABLE_PARAMS = frozenset({
+    "sigma", "mu", "lambda",
+    # variant-specific traced scalars (net-new vs the reference, whose tuner
+    # reaches only sigma/mu/lambda/horizon, autotune.py:140-241): SMPPI's
+    # smoothness weight and integration step, KMPPI's kernel bandwidth
+    "w_action_seq_cost", "delta_t", "kernel_sigma",
+})
 
 
 def vmappable_subset(param_values: dict) -> dict:
-    """The array-valued (sigma/mu/lambda) slice of a param-value dict — the
-    part :class:`PopulationEvaluator` can batch on a leading vmap axis."""
+    """The array-valued slice of a param-value dict — the part
+    :class:`PopulationEvaluator` can batch on a leading vmap axis."""
     return {k: v for k, v in param_values.items() if k in _VMAPPABLE_PARAMS}
 
 
@@ -407,6 +413,65 @@ class HorizonParameter(MPPIParameter):
         self.mppi.change_horizon(self.ensure_valid_value(value))
 
 
+class _ScalarParameter(MPPIParameter):
+    """Base for scalar tunables exposed as controller attributes."""
+
+    attr: str = None
+    eps = 0.0
+
+    def dim(self):
+        return 1
+
+    def get_current_parameter_value(self):
+        return getattr(self.mppi, self.attr)
+
+    def ensure_valid_value(self, value):
+        if isinstance(value, (np.ndarray, jnp.ndarray)):
+            value = np.ravel(np.asarray(value))[0]
+        return max(float(value), self.eps)
+
+    def apply_parameter_value(self, value):
+        setattr(self.mppi, self.attr, self.ensure_valid_value(value))
+
+
+class WActionSeqCostParameter(_ScalarParameter):
+    """SMPPI smoothness weight ``w_action_seq_cost`` (mppi.py:558-562) —
+    net-new tunable: a traced scalar in ``SMPPIParams``, so the population
+    evaluator batches candidates with zero recompilation (the reference tuner
+    cannot reach it, autotune.py:140-241)."""
+
+    attr = "w_action_seq_cost"
+
+    @staticmethod
+    def name():
+        return "w_action_seq_cost"
+
+
+class DeltaTParameter(_ScalarParameter):
+    """SMPPI integration step ``delta_t`` (mppi.py:469-477) — net-new
+    tunable traced scalar."""
+
+    attr = "delta_t"
+    eps = 1e-4
+
+    @staticmethod
+    def name():
+        return "delta_t"
+
+
+class KernelSigmaParameter(_ScalarParameter):
+    """KMPPI interpolation-kernel bandwidth (RBF sigma / B-spline scale) —
+    net-new tunable.  Applying rebuilds the two tiny precomputed
+    interpolation operators (fixed shapes, zero recompilation)."""
+
+    attr = "kernel_sigma"
+    eps = 1e-3
+
+    @staticmethod
+    def name():
+        return "kernel_sigma"
+
+
 # ---------------------------------------------------------------------------
 # Population-parallel evaluation (TPU-native; no reference counterpart)
 # ---------------------------------------------------------------------------
@@ -475,18 +540,21 @@ class PopulationEvaluator:
 
         return rollout_cost_fn
 
-    def _full_params_and_axes(self, batched_base):
+    def _full_params_and_axes(self, batched_base, variant_fields=None):
         """Wrap the candidate-batched base MPPIParams into the controller's
-        full params structure (SMPPI/KMPPI add extra non-tuned fields), plus
-        the matching vmap in_axes pytree: 0 on the base leaves (candidate
-        axis), None on everything else."""
+        full params structure (SMPPI/KMPPI add extra fields), plus the
+        matching vmap in_axes pytree: 0 on the base leaves (candidate axis)
+        and on any candidate-batched variant field, None on the rest."""
         if not hasattr(self.mppi, "_full_params"):
             return batched_base, 0
+        variant_fields = variant_fields or {}
         full = self.mppi._full_params()
-        params = full._replace(base=batched_base)
+        params = full._replace(base=batched_base, **variant_fields)
         axes = type(full)(**{
             f: (jax.tree_util.tree_map(lambda _: 0, full.base)
-                if f == "base" else None)
+                if f == "base"
+                else 0 if f in variant_fields
+                else None)
             for f in full._fields
         })
         return params, axes
@@ -534,19 +602,65 @@ class PopulationEvaluator:
         self._eval_cache[fns] = jitted
         return jitted
 
-    _SUPPORTED = _VMAPPABLE_PARAMS
+    def _supported(self):
+        """sigma/mu/lambda always; variant scalars when the controller's full
+        params carry them (SMPPI: w_action_seq_cost/delta_t; KMPPI:
+        kernel_sigma via the interpolation operators)."""
+        s = {"sigma", "mu", "lambda"}
+        if hasattr(self.mppi, "_full_params"):
+            fields = type(self.mppi._full_params())._fields
+            if "w_action_seq_cost" in fields:
+                s |= {"w_action_seq_cost", "delta_t"}
+            if "interp_full" in fields:
+                s |= {"kernel_sigma"}
+        return s
+
+    def _batch_variant_fields(self, param_dicts):
+        """Candidate-batched SMPPI/KMPPI full-params fields: traced scalars
+        stack directly; a kernel-bandwidth candidate rebuilds the (tiny,
+        fixed-shape) interpolation operators eagerly per candidate."""
+        dt = self.dtype
+        keys = {k for d in param_dicts for k in d}
+        out = {}
+        if "w_action_seq_cost" in keys or "delta_t" in keys:
+            full = self.mppi._full_params()
+            for field in ("w_action_seq_cost", "delta_t"):
+                fallback = getattr(full, field)
+                out[field] = jnp.stack([
+                    jnp.asarray(d[field], dt).reshape(()) if field in d
+                    else fallback
+                    for d in param_dicts
+                ])
+        if "kernel_sigma" in keys:
+            from .ops.kernels import interpolation_operators
+
+            mppi = self.mppi
+            cur = mppi.kernel_sigma
+            fulls, shifts = [], []
+            for d in param_dicts:
+                sig = float(np.ravel(np.asarray(d.get("kernel_sigma", cur)))[0])
+                k = type(mppi.interpolation_kernel)(sig)
+                f, sh = interpolation_operators(
+                    k, mppi.T, mppi.num_support_pts, dt
+                )
+                fulls.append(f)
+                shifts.append(sh)
+            out["interp_full"] = jnp.stack(fulls)
+            out["interp_shift"] = jnp.stack(shifts)
+        return out
 
     def _batch_params(self, param_dicts):
         base = self.mppi._params
         P = len(param_dicts)
         dt = self.dtype
-        unsupported = {k for d in param_dicts for k in d} - self._SUPPORTED
+        supported = self._supported()
+        unsupported = {k for d in param_dicts for k in d} - supported
         if unsupported:
             raise ValueError(
-                f"PopulationEvaluator supports sigma/mu/lambda only; got "
-                f"{sorted(unsupported)}. Horizon changes shapes and cannot be "
-                f"vmapped — tune it with the sequential evaluate_fn path or an "
-                f"outer per-horizon loop."
+                f"PopulationEvaluator supports {sorted(supported)} on this "
+                f"controller; got {sorted(unsupported)}. Horizon changes "
+                f"shapes and cannot be vmapped — tune it with the sequential "
+                f"evaluate_fn path or an outer per-horizon loop."
             )
 
         def stack(field, fallback):
@@ -585,7 +699,8 @@ class PopulationEvaluator:
             jax.random.split(sub, P)
         )
         batched_base = self._batch_params(param_dicts)
-        params, axes = self._full_params_and_axes(batched_base)
+        variant = self._batch_variant_fields(param_dicts)
+        params, axes = self._full_params_and_axes(batched_base, variant)
         costs, rollouts = eval_pop(
             params, axes, keys, self.mppi.U, self.mppi._state,
             self.mppi.dynamics_params,

@@ -180,6 +180,41 @@ class HorizonGlobalParameter(autotune.HorizonParameter, GlobalTunableParameter):
         return {self.name(): self.search_space}
 
 
+class WActionSeqCostGlobalParameter(autotune.WActionSeqCostParameter,
+                                    GlobalTunableParameter):
+    """SMPPI smoothness weight (net-new tunable, see autotune.py)."""
+
+    def __init__(self, *args, search_space=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        GlobalTunableParameter.__init__(self, search_space or LogUniform(1e-3, 1e2))
+
+    def total_search_space(self) -> dict:
+        return {self.name(): self.search_space}
+
+
+class DeltaTGlobalParameter(autotune.DeltaTParameter, GlobalTunableParameter):
+    """SMPPI integration step (net-new tunable)."""
+
+    def __init__(self, *args, search_space=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        GlobalTunableParameter.__init__(self, search_space or LogUniform(1e-2, 2.0))
+
+    def total_search_space(self) -> dict:
+        return {self.name(): self.search_space}
+
+
+class KernelSigmaGlobalParameter(autotune.KernelSigmaParameter,
+                                 GlobalTunableParameter):
+    """KMPPI interpolation-kernel bandwidth (net-new tunable)."""
+
+    def __init__(self, *args, search_space=None, **kwargs):
+        super().__init__(*args, **kwargs)
+        GlobalTunableParameter.__init__(self, search_space or LogUniform(0.1, 10.0))
+
+    def total_search_space(self) -> dict:
+        return {self.name(): self.search_space}
+
+
 class AutotuneGlobal(autotune.Autotune):
     """Autotune variant that exposes the joint search space
     (reference autotune_global.py:87-111)."""

@@ -587,11 +587,23 @@ class SMPPI(MPPI):
 
     @property
     def w_action_seq_cost(self):
-        return float(self._smppi_params.w_action_seq_cost)
+        return self._w_action_seq_cost
+
+    @w_action_seq_cost.setter
+    def w_action_seq_cost(self, value):
+        # traced scalar in SMPPIParams (rebuilt by _full_params each command):
+        # tuners swap it with zero recompilation — unlike the reference, whose
+        # autotune layer can only reach sigma/mu/lambda/horizon
+        # (autotune.py:140-241)
+        self._w_action_seq_cost = float(value)
 
     @property
     def delta_t(self):
-        return float(self._smppi_params.delta_t)
+        return self._delta_t
+
+    @delta_t.setter
+    def delta_t(self, value):
+        self._delta_t = float(value)
 
     @property
     def action_min(self):
@@ -779,6 +791,31 @@ class KMPPI(MPPI):
     @theta.setter
     def theta(self, value):
         self._state = self._state._replace(theta=jnp.asarray(value, self.dtype))
+
+    @property
+    def kernel_sigma(self):
+        """Bandwidth of the interpolation kernel (RBF ``sigma`` / B-spline
+        ``scale``).  Setting it rebuilds the two precomputed interpolation
+        operators — tiny (nsp x nsp) eager solves, fixed shapes, zero
+        recompilation — making the kernel bandwidth tunable (net-new vs the
+        reference, whose tuner cannot reach it, autotune.py:140-241)."""
+        k = self.interpolation_kernel
+        return float(getattr(k, "sigma", getattr(k, "scale", 1.0)))
+
+    @kernel_sigma.setter
+    def kernel_sigma(self, value):
+        k = self.interpolation_kernel
+        if hasattr(k, "sigma"):
+            k.sigma = float(value)
+        elif hasattr(k, "scale"):
+            k.scale = float(value)
+        else:
+            raise AttributeError(
+                f"kernel {k!r} exposes neither 'sigma' nor 'scale'"
+            )
+        self._interp_full, self._interp_shift = interpolation_operators(
+            k, self.T, self.num_support_pts, self.dtype
+        )
 
     def get_params(self):
         return (
