@@ -204,6 +204,34 @@ def main():
                               rtt=rtt)
     print(f"xla pipeline              {t_x*1e6:8.1f} us/iter", flush=True)
 
+    # the PRODUCTIZED generalized kernel (what use_pallas=True routes to):
+    # arbitrary traceable dynamics through batch-axis-last jaxpr evaluation
+    try:
+        lib_solve = PR.make_transposed_fused_solve(config, wdyn, wcost)
+        seedL = PR.key_to_seed(jax.random.PRNGKey(3))
+        x0T = jnp.broadcast_to(x0[:, None], (NX, K))
+
+        @jax.jit
+        def lib_run(seed, x0T, U):
+            def body(c, i):
+                lead = jnp.stack([seed[0] + i, seed[1]])
+                delta, m, s, ct = lib_solve(lead, x0T, U.reshape(D) + c * 1e-30,
+                                            scale_t, mu_t, lo_t, hi_t, a_flat0,
+                                            params.lambda_)
+                return jnp.mean(delta / s), None
+            c, _ = jax.lax.scan(body, jnp.asarray(0.0, DT),
+                                jnp.arange(SCHAIN, dtype=jnp.int32))
+            return c
+
+        t_l = chained_median_time(lib_run, seedL, x0T, U0,
+                                  iters_per_dispatch=SCHAIN, repeats=5,
+                                  rtt=rtt)
+        print(f"library transposed (generalized) {t_l*1e6:8.1f} us/iter "
+              f"({t_x/t_l:.2f}x vs xla)", flush=True)
+    except Exception as e:
+        print(f"library transposed: FAILED {type(e).__name__} {str(e)[:150]}",
+              flush=True)
+
     seed0 = PR.key_to_seed(jax.random.PRNGKey(3))
     modes = os.environ.get("MODES", "rng").split(",")
     bks = [int(b) for b in os.environ.get("BKS", "2048,10240").split(",")]

@@ -23,7 +23,7 @@ from .ops.kernels import BSplineKernel, RBFKernel, TimeKernel
 from .runner import run_mppi, run_mppi_jit
 from .utils.batch import batch_quadratic_product, ensure_tensor, handle_batch_input
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 __all__ = [
     "MPPI",

@@ -652,6 +652,7 @@ class SMPPI(MPPI):
             specific_dynamics=specific_dyn,
             mesh=self.mesh,
             sample_axis=self.sample_axis,
+            use_pallas=self.use_pallas,
         ))
 
     def _initial_state(self, U0):
@@ -775,6 +776,7 @@ class KMPPI(MPPI):
             specific_dynamics=specific_dyn,
             mesh=self.mesh,
             sample_axis=self.sample_axis,
+            use_pallas=self.use_pallas,
         ))
 
     def _initial_state(self, U0):

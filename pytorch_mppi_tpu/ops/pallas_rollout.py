@@ -287,6 +287,132 @@ def _transposed_block(K: int, D: int) -> tuple:
     return block, ((K + block - 1) // block) * block
 
 
+def _hoist_consts(consts):
+    """Kernel input plumbing for jaxpr closure constants: scalars ride in
+    SMEM as (1,), arrays ride whole in VMEM, replicated per block."""
+    const_specs, const_inputs, const_unpack = [], [], []
+    for cst in consts:
+        cst = jnp.asarray(cst)
+        if cst.ndim == 0:
+            const_inputs.append(cst.reshape(1))
+            const_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+            const_unpack.append(lambda ref: ref[0])
+        else:
+            const_inputs.append(cst)
+            const_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            const_unpack.append(lambda ref: ref[...])
+    return const_specs, const_inputs, const_unpack
+
+
+def _trace_body_transposed(config, dynamics, running_cost, block_k):
+    """Trace the per-step dynamics+cost body at the ORIGINAL (batch-first)
+    block shape and probe batch-last support; returns (closed_jaxpr, consts).
+    Raises UnsupportedPrimitive when out of the transform's vocabulary."""
+    from . import batch_last as BL
+
+    dtype = config.dtype
+
+    def _body(state, u, t):
+        ns = dynamics(None, state, u, t, None)
+        c = running_cost(ns, u, t)
+        return ns, c
+
+    closed = jax.make_jaxpr(_body)(
+        jnp.zeros((block_k, config.nx), dtype),
+        jnp.zeros((block_k, config.nu), dtype),
+        jnp.zeros((), jnp.int32),
+    )
+    ok, msg = BL.supports_batch_last(
+        closed.jaxpr, closed.consts,
+        [
+            jax.ShapeDtypeStruct((block_k, config.nx), dtype),
+            jax.ShapeDtypeStruct((block_k, config.nu), dtype),
+            jax.ShapeDtypeStruct((), jnp.int32),
+        ],
+        [True, True, False], block_k,
+    )
+    if not ok:
+        raise BL.UnsupportedPrimitive(msg)
+    return closed, closed.consts
+
+
+def _tp_draw_noise(lead_ref, i, rows, bh, block_k, rng_in_kernel, antithetic,
+                   op_ref, mu_ref, diag_fast, dtype):
+    """In-kernel noise block (rows, block_k): hardware bits (or injected
+    bits) -> N(0,1) -> optional antithetic lane-mirroring -> correlation
+    (lane-broadcast scale for white-diagonal sigma, else the (rows, rows)
+    transposed mixing operator)."""
+    if rng_in_kernel:
+        pltpu.prng_seed(lead_ref[0] + i, lead_ref[1])
+        bits = pltpu.prng_random_bits((rows, bh))
+    else:
+        bits = lead_ref[...]
+    z = _bits_to_normal(bits, use_pltpu=rng_in_kernel and not _interpret())
+    if antithetic:
+        z = jnp.concatenate([z, -z], axis=1)
+    if diag_fast:
+        return z * op_ref[...] + mu_ref[...]
+    return jnp.dot(
+        op_ref[...], z, preferred_element_type=dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    ) + mu_ref[...]
+
+
+def _tp_rollout_total(closed, cvals, x0_ref, perturbed, config, block_k):
+    """Unrolled batch-last rollout + running-cost accumulation inside the
+    kernel; returns the (1, block_k) accumulated rollout cost."""
+    from . import batch_last as BL
+
+    T, nu = config.T, config.nu
+    u_scale = float(config.u_scale)
+    state = x0_ref[...]
+    total = jnp.zeros((1, block_k), config.dtype)
+    for t in range(T):
+        u_t = perturbed[t * nu:(t + 1) * nu, :]
+        if u_scale != 1.0:
+            u_t = u_t * u_scale
+        state, c = BL.eval_jaxpr_batch_last(
+            closed.jaxpr, cvals, [state, u_t, jnp.int32(t)],
+            [True, True, False], block_k,
+        )
+        total = total + c.reshape(1, block_k)
+    return total
+
+
+def _tp_flash_tail(i, nblocks, total, lam, upd_vec, cost_out, delta_ref,
+                   m_ref, s_ref, acc_ref, K, K_pad, block_k, dtype):
+    """Phantom-row masking + streaming flash-softmax accumulation of the
+    weighted update vector (mppi.py:254-270)."""
+    if K_pad != K:
+        gid = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1) + i * block_k
+        total = jnp.where(gid < K, total, jnp.inf)
+    cost_out[...] = total
+
+    logits = -cost_out[...] / lam
+    blk_m = jnp.max(logits)
+
+    @pl.when(i == 0)
+    def _():
+        m_ref[0] = -jnp.inf
+        s_ref[0] = 0.0
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    m_old = m_ref[0]
+    m_new = jnp.maximum(m_old, blk_m)
+    sc = jnp.exp(m_old - m_new)
+    w = jnp.exp(logits - m_new)
+    s_ref[0] = s_ref[0] * sc + jnp.sum(w)
+    acc_ref[...] = acc_ref[...] * sc + jnp.dot(
+        upd_vec, w.reshape(block_k, 1), preferred_element_type=dtype,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    m_ref[0] = m_new
+
+    @pl.when(i == nblocks - 1)
+    def _():
+        delta_ref[...] = acc_ref[...]
+
+
 def make_transposed_fused_solve(
     config: MPPIConfig,
     dynamics: Callable,  # wrapped: (dyn_params, state, u, t, key) -> next_state
@@ -347,40 +473,9 @@ def make_transposed_fused_solve(
     u_scale = float(config.u_scale)
     bh = block_k // 2 if antithetic else block_k
 
-    def _body(state, u, t):
-        ns = dynamics(None, state, u, t, None)
-        c = running_cost(ns, u, t)
-        return ns, c
-
-    closed = jax.make_jaxpr(_body)(
-        jnp.zeros((block_k, nx), dtype),
-        jnp.zeros((block_k, nu), dtype),
-        jnp.zeros((), jnp.int32),
-    )
-    consts = closed.consts
-    ok, msg = BL.supports_batch_last(
-        closed.jaxpr, consts,
-        [
-            jax.ShapeDtypeStruct((block_k, nx), dtype),
-            jax.ShapeDtypeStruct((block_k, nu), dtype),
-            jax.ShapeDtypeStruct((), jnp.int32),
-        ],
-        [True, True, False], block_k,
-    )
-    if not ok:
-        raise BL.UnsupportedPrimitive(msg)
-
-    const_specs, const_inputs, const_unpack = [], [], []
-    for cst in consts:
-        cst = jnp.asarray(cst)
-        if cst.ndim == 0:
-            const_inputs.append(cst.reshape(1))
-            const_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-            const_unpack.append(lambda ref: ref[0])
-        else:
-            const_inputs.append(cst)
-            const_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
-            const_unpack.append(lambda ref: ref[...])
+    closed, consts = _trace_body_transposed(config, dynamics, running_cost,
+                                            block_k)
+    const_specs, const_inputs, const_unpack = _hoist_consts(consts)
 
     def kernel(*refs):
         (lead_ref, x0_ref, U_ref, op_ref, mu_ref, lo_ref, hi_ref, a_ref,
@@ -390,24 +485,8 @@ def make_transposed_fused_solve(
         cvals = [unpack(r) for unpack, r in zip(const_unpack, const_refs)]
         i = pl.program_id(0)
 
-        # -- noise: in-kernel hardware bits -> N(0,1), K on lanes -------------
-        if rng_in_kernel:
-            pltpu.prng_seed(lead_ref[0] + i, lead_ref[1])
-            bits = pltpu.prng_random_bits((D, bh))
-        else:
-            bits = lead_ref[...]
-        z = _bits_to_normal(bits, use_pltpu=rng_in_kernel and not _interpret())
-        if antithetic:
-            # lane-half mirroring: pairs (k, k + block/2) anti-correlated
-            z = jnp.concatenate([z, -z], axis=1)
-        if diag_fast:
-            noise = z * op_ref[...] + mu_ref[...]  # (D,1) broadcast over lanes
-        else:
-            noise = jnp.dot(
-                op_ref[...], z, preferred_element_type=dtype,
-                precision=jax.lax.Precision.HIGHEST,
-            ) + mu_ref[...]
-
+        noise = _tp_draw_noise(lead_ref, i, D, bh, block_k, rng_in_kernel,
+                               antithetic, op_ref, mu_ref, diag_fast, dtype)
         U_col = U_ref[...]  # (D, 1)
         perturbed = U_col + noise
         if null_action:
@@ -418,49 +497,11 @@ def make_transposed_fused_solve(
         n_for_cost = jnp.abs(noise) if config.noise_abs_cost else noise
         pert_cost = jnp.sum(n_for_cost * a_ref[...], axis=0, keepdims=True)
 
-        # -- rollout: batch-last evaluation of the user's traced jaxpr --------
-        state = x0_ref[...]  # (nx, block_k), stays in VMEM all horizon
-        total = pert_cost
-        for t in range(T):
-            u_t = perturbed[t * nu:(t + 1) * nu, :]  # (nu, bk) sublane slice
-            if u_scale != 1.0:
-                u_t = u_t * u_scale
-            state, c = BL.eval_jaxpr_batch_last(
-                closed.jaxpr, cvals, [state, u_t, jnp.int32(t)],
-                [True, True, False], block_k,
-            )
-            total = total + c.reshape(1, block_k)
-        if K_pad != K:
-            gid = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1) \
-                + i * block_k
-            total = jnp.where(gid < K, total, jnp.inf)
-        cost_out[...] = total
-
-        # -- flash-softmax weighted update (mppi.py:254-270) ------------------
-        logits = -cost_out[...] / lam_ref[0]
-        blk_m = jnp.max(logits)
-
-        @pl.when(i == 0)
-        def _():
-            m_ref[0] = -jnp.inf
-            s_ref[0] = 0.0
-            acc_ref[...] = jnp.zeros_like(acc_ref)
-
-        m_old = m_ref[0]
-        m_new = jnp.maximum(m_old, blk_m)
-        sc = jnp.exp(m_old - m_new)
-        w = jnp.exp(logits - m_new)  # (1, block_k)
-        s_ref[0] = s_ref[0] * sc + jnp.sum(w)
-        # weighted delta: full-contraction (D, bk)@(bk, 1) MXU matvec
-        acc_ref[...] = acc_ref[...] * sc + jnp.dot(
-            noise, w.reshape(block_k, 1), preferred_element_type=dtype,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        m_ref[0] = m_new
-
-        @pl.when(i == nblocks - 1)
-        def _():
-            delta_ref[...] = acc_ref[...]
+        total = pert_cost + _tp_rollout_total(closed, cvals, x0_ref,
+                                              perturbed, config, block_k)
+        _tp_flash_tail(i, nblocks, total, lam_ref[0], noise, cost_out,
+                       delta_ref, m_ref, s_ref, acc_ref, K, K_pad, block_k,
+                       dtype)
 
     lead_spec = (
         pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -516,6 +557,286 @@ def make_transposed_fused_solve(
             *const_inputs,
         )
         return delta.reshape(D), m[0], s[0], cost_pad.reshape(K_pad)[:K]
+
+    return solve
+
+
+def make_transposed_smppi_solve(
+    config: MPPIConfig,
+    dynamics: Callable,  # wrapped: (dyn_params, state, u, t, key) -> next_state
+    running_cost: Callable,  # wrapped: (state, u, t) -> cost
+    block_k: int = None,
+    rng_in_kernel: bool = True,
+):
+    """The SMPPI iteration (reference mppi.py:451-570, arXiv:2112.09988) as
+    one transposed K-on-lanes kernel — same design as
+    :func:`make_transposed_fused_solve` with the smooth-MPPI lift: noise is
+    drawn in action-RATE space, clamped to the rate bounds, integrated onto
+    the commanded sequence (``as + delta_t * rate``), clamped to the action
+    bounds, the effective noise back-computed through BOTH clamps
+    (mppi.py:552), and the smoothness cost ``w * sum ||u_scale *
+    diff(actions)||^2`` (mppi.py:558-562) added — diff is a static sublane
+    shift by nu in this layout.
+
+    :returns: ``solve(seed_or_bits, x0T (nx, K), U2 (D,), as2 (D,), op,
+        mu_t, lo_t, hi_t (rate bounds), alo_t, ahi_t (action bounds),
+        a_flat, scalars (3,) [lambda, w_action_seq_cost, delta_t]) ->
+        (delta (D,), m (), s (), cost_total (K,))`` with ``U_new = U +
+        (delta / s).reshape(T, nu)`` (rate space).
+    """
+    K, T, nx, nu = config.K, config.T, config.nx, config.nu
+    D = T * nu
+    dtype = config.dtype
+    if dtype != jnp.float32:
+        raise ValueError("transposed fused solve requires float32")
+    if block_k is None:
+        block_k, K_pad = _transposed_block(K, D)
+    else:
+        if block_k % 128:
+            raise ValueError(f"block_k={block_k} must be a multiple of 128")
+        K_pad = ((K + block_k - 1) // block_k) * block_k
+    nblocks = K_pad // block_k
+    antithetic = config.antithetic
+    diag_fast = config.diag_sigma and not config.noise_rho
+    null_action = config.sample_null_action
+    u_scale = float(config.u_scale)
+    bh = block_k // 2 if antithetic else block_k
+
+    closed, consts = _trace_body_transposed(config, dynamics, running_cost,
+                                            block_k)
+    const_specs, const_inputs, const_unpack = _hoist_consts(consts)
+
+    def kernel(*refs):
+        (lead_ref, x0_ref, U_ref, as_ref, op_ref, mu_ref, lo_ref, hi_ref,
+         alo_ref, ahi_ref, a_ref, sc_ref, *rest) = refs
+        const_refs = rest[: len(const_specs)]
+        cost_out, delta_ref, m_ref, s_ref, acc_ref = rest[len(const_specs):]
+        cvals = [unpack(r) for unpack, r in zip(const_unpack, const_refs)]
+        i = pl.program_id(0)
+        lam, w_seq, delta_t = sc_ref[0], sc_ref[1], sc_ref[2]
+
+        noise = _tp_draw_noise(lead_ref, i, D, bh, block_k, rng_in_kernel,
+                               antithetic, op_ref, mu_ref, diag_fast, dtype)
+        U_col = U_ref[...]  # (D, 1) rate-space nominal
+        as_col = as_ref[...]  # (D, 1) commanded action sequence
+        # rate clamp, integrate, (null row), action clamp (mppi.py:539-552)
+        pert_rate = jnp.clip(U_col + noise, lo_ref[...], hi_ref[...])
+        pert_act = as_col + pert_rate * delta_t
+        if null_action:
+            col = jax.lax.broadcasted_iota(jnp.int32, (D, block_k), 1)
+            pert_act = jnp.where((col == 0) & (i == 0), 0.0, pert_act)
+        pert_act = jnp.clip(pert_act, alo_ref[...], ahi_ref[...])
+        # effective noise back-computed through both clamps (mppi.py:552)
+        noise = (pert_act - as_col) / delta_t - U_col
+        n_for_cost = jnp.abs(noise) if config.noise_abs_cost else noise
+        pert_cost = jnp.sum(n_for_cost * a_ref[...], axis=0, keepdims=True)
+
+        # smoothness: time-diff is a static sublane shift by nu (mppi.py:558-562)
+        diff = pert_act[nu:, :] - pert_act[:-nu, :]
+        if u_scale != 1.0:
+            diff = diff * u_scale
+        smooth = w_seq * jnp.sum(diff * diff, axis=0, keepdims=True)
+
+        total = pert_cost + smooth + _tp_rollout_total(
+            closed, cvals, x0_ref, pert_act, config, block_k
+        )
+        _tp_flash_tail(i, nblocks, total, lam, noise, cost_out, delta_ref,
+                       m_ref, s_ref, acc_ref, K, K_pad, block_k, dtype)
+
+    lead_spec = (
+        pl.BlockSpec(memory_space=pltpu.SMEM)
+        if rng_in_kernel
+        else pl.BlockSpec((D, bh), lambda i: (0, i), memory_space=pltpu.VMEM)
+    )
+    op_is_diag = diag_fast
+    fused = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            lead_spec,
+            pl.BlockSpec((nx, block_k), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # U (D, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # action_sequence (D, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # op (D, 1) or (D, D)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mu (D, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lo rate (D, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # hi rate (D, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lo action (D, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # hi action (D, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # a_flat (D, 1)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # [lam, w, delta_t] (3,)
+            *const_specs,
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, K_pad), dtype),
+            jax.ShapeDtypeStruct((D, 1), dtype),
+            jax.ShapeDtypeStruct((1,), dtype),
+            jax.ShapeDtypeStruct((1,), dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((D, 1), dtype)],
+        interpret=False if rng_in_kernel else _interpret(),
+    )
+
+    def solve(seed_or_bits, x0T, U2, as2, op, mu_t, lo_t, hi_t, alo_t, ahi_t,
+              a_flat, lambda_, w_seq, delta_t):
+        x0T = jnp.asarray(x0T, dtype)
+        if K_pad != K:
+            x0T = jnp.pad(x0T, ((0, 0), (0, K_pad - K)))
+        col = lambda v: jnp.asarray(v, dtype).reshape(D, 1)
+        scalars = jnp.stack([
+            jnp.asarray(lambda_, dtype).reshape(()),
+            jnp.asarray(w_seq, dtype).reshape(()),
+            jnp.asarray(delta_t, dtype).reshape(()),
+        ])
+        cost_pad, delta, m, s = fused(
+            seed_or_bits, x0T, col(U2), col(as2),
+            op.reshape(D, 1) if op_is_diag else op,
+            col(mu_t), col(lo_t), col(hi_t), col(alo_t), col(ahi_t),
+            col(a_flat), scalars, *const_inputs,
+        )
+        return delta.reshape(D), m[0], s[0], cost_pad.reshape(K_pad)[:K]
+
+    return solve
+
+
+def make_transposed_kmppi_solve(
+    config: MPPIConfig,
+    dynamics: Callable,  # wrapped: (dyn_params, state, u, t, key) -> next_state
+    running_cost: Callable,  # wrapped: (state, u, t) -> cost
+    block_k: int = None,
+    rng_in_kernel: bool = True,
+):
+    """The KMPPI iteration (reference mppi.py:593-688) as one transposed
+    K-on-lanes kernel: noise drawn only at the ``nsp`` support points
+    (``Dp = nsp*nu`` rows), clamped, kernel-interpolated to the full horizon
+    with an in-kernel ``(D, Dp) @ (Dp, bk)`` MXU matmul against
+    ``kron(interp_full, I_nu)``, trajectory-clamped, rolled out — and the
+    flash-softmax update accumulated in THETA space (mppi.py:672-682), so
+    ``delta`` has Dp rows.
+
+    :returns: ``solve(seed_or_bits, x0T (nx, K), U2 (D,), theta2 (Dp,), op,
+        mu_p (Dp,), lop, hip (Dp,), lo_t, hi_t (D,), a_flat (D,),
+        Wt (D, Dp), lambda) -> (delta_theta (Dp,), m, s, cost_total (K,))``
+        with ``theta_new = theta + (delta_theta / s).reshape(nsp, nu)`` and
+        ``U_new = interp_full @ theta_new``.
+    """
+    K, T, nx, nu = config.K, config.T, config.nx, config.nu
+    nsp = config.num_support_pts
+    D, Dp = T * nu, nsp * nu
+    dtype = config.dtype
+    if dtype != jnp.float32:
+        raise ValueError("transposed fused solve requires float32")
+    if block_k is None:
+        block_k, K_pad = _transposed_block(K, D)
+    else:
+        if block_k % 128:
+            raise ValueError(f"block_k={block_k} must be a multiple of 128")
+        K_pad = ((K + block_k - 1) // block_k) * block_k
+    nblocks = K_pad // block_k
+    antithetic = config.antithetic
+    diag_fast = config.diag_sigma and not config.noise_rho
+    null_action = config.sample_null_action
+    bh = block_k // 2 if antithetic else block_k
+
+    closed, consts = _trace_body_transposed(config, dynamics, running_cost,
+                                            block_k)
+    const_specs, const_inputs, const_unpack = _hoist_consts(consts)
+
+    def kernel(*refs):
+        (lead_ref, x0_ref, U_ref, th_ref, op_ref, mu_ref, lop_ref, hip_ref,
+         lo_ref, hi_ref, a_ref, W_ref, lam_ref, *rest) = refs
+        const_refs = rest[: len(const_specs)]
+        cost_out, delta_ref, m_ref, s_ref, acc_ref = rest[len(const_specs):]
+        cvals = [unpack(r) for unpack, r in zip(const_unpack, const_refs)]
+        i = pl.program_id(0)
+
+        noise_th = _tp_draw_noise(lead_ref, i, Dp, bh, block_k, rng_in_kernel,
+                                  antithetic, op_ref, mu_ref, diag_fast, dtype)
+        th_col = th_ref[...]  # (Dp, 1)
+        pert_pts = jnp.clip(th_col + noise_th, lop_ref[...], hip_ref[...])
+        noise_th = pert_pts - th_col
+        # deparameterize: (D, Dp) @ (Dp, bk) — default precision, matching
+        # what XLA does to the same matmul in the scan path
+        perturbed = jnp.dot(W_ref[...], pert_pts,
+                            preferred_element_type=dtype)
+        if null_action:
+            col = jax.lax.broadcasted_iota(jnp.int32, (D, block_k), 1)
+            perturbed = jnp.where((col == 0) & (i == 0), 0.0, perturbed)
+        perturbed = jnp.clip(perturbed, lo_ref[...], hi_ref[...])
+        U_col = U_ref[...]
+        noise_full = perturbed - U_col
+        n_for_cost = jnp.abs(noise_full) if config.noise_abs_cost else noise_full
+        pert_cost = jnp.sum(n_for_cost * a_ref[...], axis=0, keepdims=True)
+
+        total = pert_cost + _tp_rollout_total(closed, cvals, x0_ref,
+                                              perturbed, config, block_k)
+        # the update accumulates THETA-space noise (mppi.py:672-682)
+        _tp_flash_tail(i, nblocks, total, lam_ref[0], noise_th, cost_out,
+                       delta_ref, m_ref, s_ref, acc_ref, K, K_pad, block_k,
+                       dtype)
+
+    lead_spec = (
+        pl.BlockSpec(memory_space=pltpu.SMEM)
+        if rng_in_kernel
+        else pl.BlockSpec((Dp, bh), lambda i: (0, i), memory_space=pltpu.VMEM)
+    )
+    op_is_diag = diag_fast
+    fused = pl.pallas_call(
+        kernel,
+        grid=(nblocks,),
+        in_specs=[
+            lead_spec,
+            pl.BlockSpec((nx, block_k), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # U (D, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # theta (Dp, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # op (Dp, 1) or (Dp, Dp)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # mu (Dp, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lo pts (Dp, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # hi pts (Dp, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lo traj (D, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # hi traj (D, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # a_flat (D, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # Wt = kron(interp, I) (D, Dp)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # lambda (1,)
+            *const_specs,
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block_k), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Dp, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, K_pad), dtype),
+            jax.ShapeDtypeStruct((Dp, 1), dtype),
+            jax.ShapeDtypeStruct((1,), dtype),
+            jax.ShapeDtypeStruct((1,), dtype),
+        ),
+        scratch_shapes=[pltpu.VMEM((Dp, 1), dtype)],
+        interpret=False if rng_in_kernel else _interpret(),
+    )
+
+    def solve(seed_or_bits, x0T, U2, theta2, op, mu_p, lop, hip, lo_t, hi_t,
+              a_flat, Wt, lambda_):
+        x0T = jnp.asarray(x0T, dtype)
+        if K_pad != K:
+            x0T = jnp.pad(x0T, ((0, 0), (0, K_pad - K)))
+        colD = lambda v: jnp.asarray(v, dtype).reshape(D, 1)
+        colP = lambda v: jnp.asarray(v, dtype).reshape(Dp, 1)
+        cost_pad, delta, m, s = fused(
+            seed_or_bits, x0T, colD(U2), colP(theta2),
+            op.reshape(Dp, 1) if op_is_diag else op,
+            colP(mu_p), colP(lop), colP(hip), colD(lo_t), colD(hi_t),
+            colD(a_flat), Wt, jnp.asarray(lambda_, dtype).reshape(1),
+            *const_inputs,
+        )
+        return delta.reshape(Dp), m[0], s[0], cost_pad.reshape(K_pad)[:K]
 
     return solve
 

@@ -382,6 +382,53 @@ class StepFns(NamedTuple):
     get_rollouts: Callable  # (params, state, x0 (R, nx), U (T, nu)) -> (R, T, nx)
 
 
+def _route_transposed_solve(config, builder, terminal_state_cost,
+                            sample_trajectories, specific_dynamics, mesh,
+                            variant: str):
+    """Shared ``use_pallas`` routing for the transposed fused kernels: checks
+    static eligibility + backend, builds the kernel (probing the dynamics'
+    batch-last vocabulary), and logs the decision.  Returns the solve or
+    None (XLA scan fallback)."""
+    from . import batch_last as BL
+    from . import pallas_rollout as PR
+
+    if PR._interpret():
+        logger.warning(
+            "use_pallas: the fused kernel needs the TPU hardware PRNG; using "
+            "the XLA scan path on backend %r", jax.default_backend(),
+        )
+        return None
+    if not PR.transposed_eligible(
+        config,
+        has_terminal=terminal_state_cost is not None,
+        has_specific_sampler=(
+            sample_trajectories is not None or specific_dynamics is not None
+        ),
+        mesh=mesh,
+    ):
+        logger.warning(
+            "use_pallas requested but the %s configuration is ineligible "
+            "(terminal cost / specific sampler / M>1 / stochastic / "
+            "parameterized / non-f32 / sharded); using the XLA scan path",
+            variant,
+        )
+        return None
+    try:
+        solve = builder()
+    except BL.UnsupportedPrimitive as e:
+        logger.warning(
+            "use_pallas: dynamics/cost use an operation outside the "
+            "batch-last kernel vocabulary (%s); using the XLA scan path", e,
+        )
+        return None
+    logger.info(
+        "use_pallas: %s routing to the transposed K-on-lanes fused kernel "
+        "(docs/DESIGN.md §6); its own hardware-PRNG noise stream; "
+        "noise/perturbed artifacts are not materialized", variant,
+    )
+    return solve
+
+
 def _select_action(config: MPPIConfig, seq: jax.Array) -> jax.Array:
     """Return the first u_per_command actions, squeezed if 1 (mppi.py:271-275)."""
     action = seq[: config.u_per_command]
@@ -469,49 +516,12 @@ def make_mppi_step(
                     "ineligible (terminal cost / specific dynamics / M>1 / "
                     "stochastic / non-f32 / sharded); using the XLA scan path"
                 )
-        elif PR._interpret():
-            # the transposed kernel's in-kernel hardware PRNG has no CPU
-            # interpret rule; kernel-level parity runs in the CPU lane via
-            # rng_in_kernel=False (tests/test_pallas_transposed.py)
-            logger.warning(
-                "use_pallas: the fused kernel needs the TPU hardware PRNG; "
-                "using the XLA scan path on backend %r (use "
-                "use_pallas='rollout' for the interpretable legacy kernels)",
-                jax.default_backend(),
-            )
-        elif PR.transposed_eligible(
-            config,
-            has_terminal=terminal_state_cost is not None,
-            has_specific_sampler=(
-                sample_trajectories is not None
-                or specific_dynamics is not None
-            ),
-            mesh=mesh,
-        ):
-            from . import batch_last as BL
-
-            try:
-                transposed_solve = PR.make_transposed_fused_solve(
-                    config, dyn, cost
-                )
-                logger.info(
-                    "use_pallas: routing to the transposed K-on-lanes fused "
-                    "kernel (measured ~1.04x the XLA path at the flagship "
-                    "shape, ~1.6x for MLP dynamics — docs/DESIGN.md §6); "
-                    "its own hardware-PRNG noise stream; noise/perturbed "
-                    "artifacts are not materialized"
-                )
-            except BL.UnsupportedPrimitive as e:
-                logger.warning(
-                    "use_pallas: dynamics/cost use an operation outside the "
-                    "batch-last kernel vocabulary (%s); using the XLA scan "
-                    "path", e,
-                )
         else:
-            logger.warning(
-                "use_pallas requested but the configuration is ineligible "
-                "(terminal cost / specific sampler / M>1 / stochastic / "
-                "parameterized / non-f32 / sharded); using the XLA scan path"
+            transposed_solve = _route_transposed_solve(
+                config,
+                lambda: PR.make_transposed_fused_solve(config, dyn, cost),
+                terminal_state_cost, sample_trajectories, specific_dynamics,
+                mesh, "MPPI",
             )
 
     K, T, nu = config.K, config.T, config.nu
@@ -725,6 +735,7 @@ def make_smppi_step(
     jit: bool = True,
     mesh=None,
     sample_axis: str = "k",
+    use_pallas: bool = False,
 ) -> StepFns:
     if config.num_iterations < 1:
         raise ValueError(
@@ -737,6 +748,17 @@ def make_smppi_step(
 
     K, T, nu = config.K, config.T, config.nu
     D = T * nu
+
+    transposed_solve = None
+    if use_pallas:
+        from . import pallas_rollout as PR
+
+        transposed_solve = _route_transposed_solve(
+            config,
+            lambda: PR.make_transposed_smppi_solve(config, dyn, cost),
+            terminal_state_cost, sample_trajectories, specific_dynamics,
+            mesh, "SMPPI",
+        )
 
     def _solve(params: SMPPIParams, state: SMPPIState, x0, info, shift: bool, dyn_params=None):
         base = params.base
@@ -766,7 +788,49 @@ def make_smppi_step(
         new_state = SMPPIState(U=U, action_sequence=action_sequence_new, key=key)
         return new_state, action, artifacts
 
+    def _one_iteration_fused(params, U, action_sequence, x0, k_noise):
+        """The whole SMPPI iteration as one transposed-kernel call (see
+        make_mppi_step._one_iteration_fused)."""
+        from . import pallas_rollout as PR
+
+        base = params.base
+        chol, sigma_inv = _sigma_factors(base.noise_sigma)
+        if config.diag_sigma and not config.noise_rho:
+            op = jnp.tile(jnp.diagonal(chol).astype(dtype), T)
+        else:
+            mix = (
+                ar1_mixing(T, config.noise_rho, dtype)
+                if config.noise_rho
+                else jnp.eye(T, dtype=dtype)
+            )
+            op = jnp.kron(mix, chol.astype(dtype))
+        mu_t = jnp.tile(base.noise_mu, T)
+        lo2 = jnp.tile(jnp.broadcast_to(base.u_min, (nu,)).astype(dtype), T)
+        hi2 = jnp.tile(jnp.broadcast_to(base.u_max, (nu,)).astype(dtype), T)
+        alo2 = jnp.tile(jnp.broadcast_to(params.action_min, (nu,)).astype(dtype), T)
+        ahi2 = jnp.tile(jnp.broadcast_to(params.action_max, (nu,)).astype(dtype), T)
+        a_flat = (base.lambda_ * (U @ sigma_inv.T)).reshape(D)
+        if x0.ndim == 2:
+            x0T = x0.T
+        else:
+            x0T = jnp.broadcast_to(x0[:, None], (x0.shape[-1], K))
+        seed = PR.key_to_seed(k_noise)
+        delta, m, s, cost_total = transposed_solve(
+            seed, x0T, U.reshape(D), action_sequence.reshape(D), op, mu_t,
+            lo2, hi2, alo2, ahi2, a_flat, base.lambda_,
+            params.w_action_seq_cost, params.delta_t,
+        )
+        ctnz, omega = PR.weighting_from_stats(cost_total, base.lambda_, m, s)
+        U_new = U + (delta / s).reshape(T, nu)
+        artifacts = Artifacts(
+            cost_total=cost_total, cost_total_non_zero=ctnz, omega=omega,
+            noise=None, perturbed_action=None, states=None, actions=None,
+        )
+        return U_new, artifacts
+
     def _one_iteration(params, U, action_sequence, x0, info, k_noise, k_roll, dyn_params):
+        if transposed_solve is not None:
+            return _one_iteration_fused(params, U, action_sequence, x0, k_noise)
         base = params.base
         # flat (K, T·nu) lane-dense layout throughout (see make_mppi_step);
         # noise lives in action-*rate* space (mppi.py:539-552)
@@ -860,6 +924,7 @@ def make_kmppi_step(
     jit: bool = True,
     mesh=None,
     sample_axis: str = "k",
+    use_pallas: bool = False,
 ) -> StepFns:
     if config.num_iterations < 1:
         raise ValueError(
@@ -873,6 +938,17 @@ def make_kmppi_step(
 
     K, T, nu = config.K, config.T, config.nu
     D, Dp = T * nu, nsp * nu
+
+    transposed_solve = None
+    if use_pallas:
+        from . import pallas_rollout as PR
+
+        transposed_solve = _route_transposed_solve(
+            config,
+            lambda: PR.make_transposed_kmppi_solve(config, dyn, cost),
+            terminal_state_cost, sample_trajectories, specific_dynamics,
+            mesh, "KMPPI",
+        )
 
     def _solve(params: KMPPIParams, state: KMPPIState, x0, info, shift: bool, dyn_params=None):
         base = params.base
@@ -896,7 +972,50 @@ def make_kmppi_step(
         action = _select_action(config, U)
         return KMPPIState(U=U, theta=theta, key=key), action, artifacts
 
+    def _one_iteration_fused(params, U, theta, x0, k_noise):
+        """The whole KMPPI iteration as one transposed-kernel call: noise at
+        support points, in-kernel kernel interpolation, theta-space update."""
+        from . import pallas_rollout as PR
+
+        base = params.base
+        chol, sigma_inv = _sigma_factors(base.noise_sigma)
+        if config.diag_sigma and not config.noise_rho:
+            op = jnp.tile(jnp.diagonal(chol).astype(dtype), nsp)
+        else:
+            mix = (
+                ar1_mixing(nsp, config.noise_rho, dtype)
+                if config.noise_rho
+                else jnp.eye(nsp, dtype=dtype)
+            )
+            op = jnp.kron(mix, chol.astype(dtype))
+        mu_p = jnp.tile(base.noise_mu, nsp)
+        lop = jnp.tile(jnp.broadcast_to(base.u_min, (nu,)).astype(dtype), nsp)
+        hip = jnp.tile(jnp.broadcast_to(base.u_max, (nu,)).astype(dtype), nsp)
+        lo2 = jnp.tile(jnp.broadcast_to(base.u_min, (nu,)).astype(dtype), T)
+        hi2 = jnp.tile(jnp.broadcast_to(base.u_max, (nu,)).astype(dtype), T)
+        a_flat = (base.lambda_ * (U @ sigma_inv.T)).reshape(D)
+        Wt = jnp.kron(params.interp_full.astype(dtype), jnp.eye(nu, dtype=dtype))
+        if x0.ndim == 2:
+            x0T = x0.T
+        else:
+            x0T = jnp.broadcast_to(x0[:, None], (x0.shape[-1], K))
+        seed = PR.key_to_seed(k_noise)
+        delta_th, m, s, cost_total = transposed_solve(
+            seed, x0T, U.reshape(D), theta.reshape(Dp), op, mu_p, lop, hip,
+            lo2, hi2, a_flat, Wt, base.lambda_,
+        )
+        ctnz, omega = PR.weighting_from_stats(cost_total, base.lambda_, m, s)
+        theta_new = theta + (delta_th / s).reshape(nsp, nu)
+        U_new = params.interp_full @ theta_new
+        artifacts = Artifacts(
+            cost_total=cost_total, cost_total_non_zero=ctnz, omega=omega,
+            noise=None, perturbed_action=None, states=None, actions=None,
+        )
+        return U_new, theta_new, artifacts
+
     def _one_iteration(params, U, theta, x0, info, k_noise, k_roll, dyn_params):
+        if transposed_solve is not None:
+            return _one_iteration_fused(params, U, theta, x0, k_noise)
         base = params.base
         # flat lane-dense layout (see make_mppi_step): control points live in
         # (K, nsp·nu), the horizon in (K, T·nu).  Noise is sampled only at

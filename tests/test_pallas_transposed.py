@@ -143,6 +143,123 @@ class TestTransposedSolve:
                 S.wrap_cost(config, quad_cost), rng_in_kernel=False,
             )
 
+    @pytest.mark.parametrize("null_action", [False, True], ids=["plain", "null"])
+    def test_smppi_variant(self, null_action):
+        """SMPPI transposed kernel vs the identical rate-space math in plain
+        jnp: rate clamp, integration, action clamp, back-computed noise,
+        smoothness cost, theta... all bitwise-close."""
+        config = MPPIConfig(nx=NX, nu=NU, K=K, T=T, dtype=DT, diag_sigma=True,
+                            u_scale=1.5, sample_null_action=null_action)
+        bits = jax.random.randint(
+            jax.random.PRNGKey(3), (D, K), -(2**31), 2**31 - 1, jnp.int32)
+        solve = PR.make_transposed_smppi_solve(
+            config, S.wrap_dynamics(config, lin_dyn),
+            S.wrap_cost(config, quad_cost), rng_in_kernel=False)
+        U2 = jax.random.normal(jax.random.PRNGKey(5), (D,), DT) * 0.1
+        as2 = jax.random.normal(jax.random.PRNGKey(6), (D,), DT) * 0.2
+        scale_t = jnp.full((D,), 0.8, DT)
+        mu_t = jnp.zeros((D,), DT)
+        lo_t = jnp.full((D,), -2.0, DT)   # rate bounds
+        hi_t = jnp.full((D,), 2.0, DT)
+        alo_t = jnp.full((D,), -1.0, DT)  # action bounds
+        ahi_t = jnp.full((D,), 1.0, DT)
+        a_flat = U2 * 0.7
+        lam, w_seq, dt_ = jnp.asarray(1.0, DT), jnp.asarray(5.0, DT), \
+            jnp.asarray(0.5, DT)
+        x0 = jnp.array([-1.0, -1.0], DT)
+        x0T = jnp.broadcast_to(x0[:, None], (NX, K))
+        delta_k, m_k, s_k, ct_k = jax.jit(solve)(
+            bits, x0T, U2, as2, scale_t, mu_t, lo_t, hi_t, alo_t, ahi_t,
+            a_flat, lam, w_seq, dt_,
+        )
+
+        z = PR._bits_to_normal(bits)
+        noise2 = z.T * scale_t[None]
+        pert_rate = jnp.clip(U2[None] + noise2, lo_t, hi_t)
+        pert_act = as2[None] + pert_rate * dt_
+        if null_action:
+            pert_act = pert_act.at[0].set(0.0)
+        pert_act = jnp.clip(pert_act, alo_t, ahi_t)
+        noise2 = (pert_act - as2[None]) / dt_ - U2[None]
+        pc = noise2 @ a_flat
+        adiff = 1.5 * (pert_act[:, NU:] - pert_act[:, :-NU])
+        smooth = w_seq * jnp.sum(adiff**2, axis=1)
+        wdyn = S.wrap_dynamics(config, lin_dyn)
+        wcost = S.wrap_cost(config, quad_cost)
+        rc, _, _ = S.rollout_costs(config, wdyn, wcost, None, None, None, x0,
+                                   pert_act.reshape(K, T, NU),
+                                   jax.random.PRNGKey(0))
+        ct_m = rc + pc + smooth
+        logits = -ct_m / lam
+        m_m = jnp.max(logits)
+        w = jnp.exp(logits - m_m)
+        s_m = jnp.sum(w)
+        delta_m = (w / s_m) @ noise2
+        np.testing.assert_allclose(np.asarray(ct_k), np.asarray(ct_m),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(float(s_k), float(s_m), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(delta_k) / float(s_k),
+                                   np.asarray(delta_m), rtol=2e-4, atol=2e-6)
+
+    def test_kmppi_variant(self):
+        """KMPPI transposed kernel vs plain jnp: support-point noise,
+        in-kernel interpolation matmul, trajectory clamp, theta-space
+        update."""
+        nsp = 4
+        Dp = nsp * NU
+        config = MPPIConfig(nx=NX, nu=NU, K=K, T=T, dtype=DT, diag_sigma=True,
+                            num_support_pts=nsp)
+        from pytorch_mppi_tpu.ops.kernels import (RBFKernel,
+                                                  interpolation_operators)
+
+        interp_full, _ = interpolation_operators(RBFKernel(2.0), T, nsp, DT)
+        Wt = jnp.kron(interp_full, jnp.eye(NU, dtype=DT))  # (D, Dp)
+        bits = jax.random.randint(
+            jax.random.PRNGKey(3), (Dp, K), -(2**31), 2**31 - 1, jnp.int32)
+        solve = PR.make_transposed_kmppi_solve(
+            config, S.wrap_dynamics(config, lin_dyn),
+            S.wrap_cost(config, quad_cost), rng_in_kernel=False)
+        U2 = jax.random.normal(jax.random.PRNGKey(5), (D,), DT) * 0.1
+        th2 = jax.random.normal(jax.random.PRNGKey(6), (Dp,), DT) * 0.2
+        scale_p = jnp.full((Dp,), 0.9, DT)
+        mu_p = jnp.zeros((Dp,), DT)
+        lop = jnp.full((Dp,), -1.0, DT)
+        hip = jnp.full((Dp,), 1.0, DT)
+        lo_t = jnp.full((D,), -1.0, DT)
+        hi_t = jnp.full((D,), 1.0, DT)
+        a_flat = U2 * 0.7
+        lam = jnp.asarray(0.9, DT)
+        x0 = jnp.array([-2.0, -1.0], DT)
+        x0T = jnp.broadcast_to(x0[:, None], (NX, K))
+        delta_k, m_k, s_k, ct_k = jax.jit(solve)(
+            bits, x0T, U2, th2, scale_p, mu_p, lop, hip, lo_t, hi_t, a_flat,
+            Wt, lam,
+        )
+
+        z = PR._bits_to_normal(bits)
+        noise_th = z.T * scale_p[None]
+        pert_pts = jnp.clip(th2[None] + noise_th, lop, hip)
+        noise_th = pert_pts - th2[None]
+        pert2 = jnp.clip(pert_pts @ Wt.T, lo_t, hi_t)
+        noise2 = pert2 - U2[None]
+        pc = noise2 @ a_flat
+        wdyn = S.wrap_dynamics(config, lin_dyn)
+        wcost = S.wrap_cost(config, quad_cost)
+        rc, _, _ = S.rollout_costs(config, wdyn, wcost, None, None, None, x0,
+                                   pert2.reshape(K, T, NU),
+                                   jax.random.PRNGKey(0))
+        ct_m = rc + pc
+        logits = -ct_m / lam
+        m_m = jnp.max(logits)
+        w = jnp.exp(logits - m_m)
+        s_m = jnp.sum(w)
+        delta_m = (w / s_m) @ noise_th
+        np.testing.assert_allclose(np.asarray(ct_k), np.asarray(ct_m),
+                                   rtol=2e-4, atol=2e-3)
+        np.testing.assert_allclose(float(s_k), float(s_m), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(delta_k) / float(s_k),
+                                   np.asarray(delta_m), rtol=2e-3, atol=1e-5)
+
     def test_padded_k(self):
         """K not a multiple of the 128-lane block: phantom rows must carry
         zero weight."""

@@ -333,6 +333,19 @@ class TestPallasPath:
         assert a.shape == (2,)
         assert ctrl.states is not None  # storage intact -> scan path ran
 
+    def test_variant_pallas_falls_back_on_cpu(self):
+        """SMPPI/KMPPI accept use_pallas=True and run the XLA path on CPU,
+        bit-identical to use_pallas=False (same stream, same program)."""
+        state = jnp.array([-1.0, 1.0], DTYPE)
+        for cls, kw in ((SMPPI, dict(w_action_seq_cost=2.0, delta_t=0.5)),
+                        (KMPPI, dict(num_support_pts=4))):
+            c_ref = _ctrl(cls, **kw)
+            c_pal = _ctrl(cls, use_pallas=True, **kw)
+            np.testing.assert_array_equal(
+                np.asarray(c_ref.command(state)),
+                np.asarray(c_pal.command(state)),
+            )
+
 
 class TestFusedSolveKernel:
     """The fully-fused solve kernel (in-kernel RNG on TPU) against the exact

