@@ -922,11 +922,13 @@ class MPPI_Batched:
         mesh=None,
         env_axis: str = "data",
         sample_axis: Optional[str] = None,
+        use_pallas: bool = False,
         prng_impl: Optional[str] = "auto",
     ):
         self.mesh = mesh
         self.env_axis = env_axis
         self.sample_axis = sample_axis
+        self.use_pallas = use_pallas
         self.dynamics_params = dynamics_params
         self.d = _resolve_device(device)
         sigma = _coerce_sigma(noise_sigma)
@@ -983,6 +985,7 @@ class MPPI_Batched:
             self.config, self.N, dynamics, running_cost,
             terminal_state_cost=terminal_state_cost,
             mesh=mesh, env_axis=env_axis, sample_axis=sample_axis,
+            use_pallas=use_pallas,
         )
         self.prng_impl = _resolve_prng_impl(prng_impl, mesh, self.d)
         if key is None:

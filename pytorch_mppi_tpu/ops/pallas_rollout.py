@@ -358,14 +358,15 @@ def _tp_draw_noise(lead_ref, i, rows, bh, block_k, rng_in_kernel, antithetic,
     ) + mu_ref[...]
 
 
-def _tp_rollout_total(closed, cvals, x0_ref, perturbed, config, block_k):
+def _tp_rollout_total(closed, cvals, state0, perturbed, config, block_k):
     """Unrolled batch-last rollout + running-cost accumulation inside the
-    kernel; returns the (1, block_k) accumulated rollout cost."""
+    kernel; ``state0`` is the (nx, block_k) initial-state value; returns the
+    (1, block_k) accumulated rollout cost."""
     from . import batch_last as BL
 
     T, nu = config.T, config.nu
     u_scale = float(config.u_scale)
-    state = x0_ref[...]
+    state = state0
     total = jnp.zeros((1, block_k), config.dtype)
     for t in range(T):
         u_t = perturbed[t * nu:(t + 1) * nu, :]
@@ -497,7 +498,7 @@ def make_transposed_fused_solve(
         n_for_cost = jnp.abs(noise) if config.noise_abs_cost else noise
         pert_cost = jnp.sum(n_for_cost * a_ref[...], axis=0, keepdims=True)
 
-        total = pert_cost + _tp_rollout_total(closed, cvals, x0_ref,
+        total = pert_cost + _tp_rollout_total(closed, cvals, x0_ref[...],
                                               perturbed, config, block_k)
         _tp_flash_tail(i, nblocks, total, lam_ref[0], noise, cost_out,
                        delta_ref, m_ref, s_ref, acc_ref, K, K_pad, block_k,
@@ -638,7 +639,7 @@ def make_transposed_smppi_solve(
         smooth = w_seq * jnp.sum(diff * diff, axis=0, keepdims=True)
 
         total = pert_cost + smooth + _tp_rollout_total(
-            closed, cvals, x0_ref, pert_act, config, block_k
+            closed, cvals, x0_ref[...], pert_act, config, block_k
         )
         _tp_flash_tail(i, nblocks, total, lam, noise, cost_out, delta_ref,
                        m_ref, s_ref, acc_ref, K, K_pad, block_k, dtype)
@@ -774,7 +775,7 @@ def make_transposed_kmppi_solve(
         n_for_cost = jnp.abs(noise_full) if config.noise_abs_cost else noise_full
         pert_cost = jnp.sum(n_for_cost * a_ref[...], axis=0, keepdims=True)
 
-        total = pert_cost + _tp_rollout_total(closed, cvals, x0_ref,
+        total = pert_cost + _tp_rollout_total(closed, cvals, x0_ref[...],
                                               perturbed, config, block_k)
         # the update accumulates THETA-space noise (mppi.py:672-682)
         _tp_flash_tail(i, nblocks, total, lam_ref[0], noise_th, cost_out,
@@ -837,6 +838,196 @@ def make_transposed_kmppi_solve(
             *const_inputs,
         )
         return delta.reshape(Dp), m[0], s[0], cost_pad.reshape(K_pad)[:K]
+
+    return solve
+
+
+def make_transposed_batched_solve(
+    config: MPPIConfig,
+    num_envs: int,
+    dynamics: Callable,  # wrapped: (dyn_params, state, u, t, key) -> next_state
+    running_cost: Callable,  # wrapped: (state, u, t) -> cost
+    block_k: int = None,
+    rng_in_kernel: bool = True,
+):
+    """The N-plant scenario-batched iteration (reference MPPI_Batched,
+    mppi.py:691-873) as one transposed K-on-lanes kernel over a (N, K-blocks)
+    grid (K-block loop innermost).
+
+    The reference's defining trait — noise sampled ONCE and shared across
+    plants (mppi.py:837-838) — costs nothing here: every plant's K-block
+    seeds the hardware PRNG with the block index only, so identical bits are
+    regenerated per plant in VMEM instead of reading a shared (K, D) tensor
+    from HBM N times; the (N, K, T·nu) perturbed-action tensor (the pod-scale
+    memory hog) never exists in HBM at all.  Each plant runs its own
+    flash-softmax over K in SMEM scratch (the grid is sequential on the TPU
+    core, K-blocks innermost, so per-plant accumulators reset at block 0 and
+    finalize at the last block).
+
+    :returns: ``solve(seed_or_bits, x0T (nx, N), U2T (D, N), op, mu_t, lo_t,
+        hi_t (D,), aT (D, N), lambda) -> (delta (D, N), ms (2, N),
+        cost_total (N, K))`` where ``U_new = U + (delta / ms[1]).T`` and
+        ``aT[:, n]`` is plant n's action-cost vector ``lambda * sigma^-1
+        U_n`` flattened.  With ``rng_in_kernel=False`` (CPU interpret tests)
+        ``seed_or_bits`` is int32 bits of shape (D, K_pad) — shared across
+        plants, like the XLA path's single draw.
+    """
+    K, T, nx, nu = config.K, config.T, config.nx, config.nu
+    N = int(num_envs)
+    D = T * nu
+    dtype = config.dtype
+    if dtype != jnp.float32:
+        raise ValueError("transposed fused solve requires float32")
+    if block_k is None:
+        block_k, K_pad = _transposed_block(K, D)
+    else:
+        if block_k % 128:
+            raise ValueError(f"block_k={block_k} must be a multiple of 128")
+        K_pad = ((K + block_k - 1) // block_k) * block_k
+    nblocks = K_pad // block_k
+    antithetic = config.antithetic
+    diag_fast = config.diag_sigma and not config.noise_rho
+    bh = block_k // 2 if antithetic else block_k
+
+    closed, consts = _trace_body_transposed(config, dynamics, running_cost,
+                                            block_k)
+    const_specs, const_inputs, const_unpack = _hoist_consts(consts)
+
+    def kernel(*refs):
+        (lead_ref, x0_ref, U_ref, op_ref, mu_ref, lo_ref, hi_ref, a_ref,
+         lam_ref, *rest) = refs
+        const_refs = rest[: len(const_specs)]
+        (cost_out, delta_ref, ms_ref, acc_ref, m_ref, s_ref) = \
+            rest[len(const_specs):]
+        cvals = [unpack(r) for unpack, r in zip(const_unpack, const_refs)]
+        n = pl.program_id(0)
+        i = pl.program_id(1)  # K-block index (innermost)
+
+        # per-plant vectors ride as full (rows, N) VMEM arrays (Mosaic
+        # rejects width-1 lane BLOCKS, and width-1 dynamic lane slices crash
+        # its backend); this plant's column is selected by a one-hot lane
+        # mask + reduction — a cheap, well-supported lane pattern
+        def col(ref, rows):
+            lane = jax.lax.broadcasted_iota(jnp.int32, (rows, N), 1)
+            return jnp.sum(
+                jnp.where(lane == n, ref[...], 0.0), axis=1, keepdims=True
+            )
+
+        # noise seeded by BLOCK index only -> bit-identical across plants,
+        # the reference's shared-noise semantics (mppi.py:837-838)
+        noise = _tp_draw_noise(lead_ref, i, D, bh, block_k, rng_in_kernel,
+                               antithetic, op_ref, mu_ref, diag_fast, dtype)
+        U_col = col(U_ref, D)  # (D, 1): this plant's nominal sequence
+        perturbed = jnp.clip(U_col + noise, lo_ref[...], hi_ref[...])
+        noise = perturbed - U_col
+        n_for_cost = jnp.abs(noise) if config.noise_abs_cost else noise
+        pert_cost = jnp.sum(n_for_cost * col(a_ref, D), axis=0, keepdims=True)
+
+        state0 = jnp.broadcast_to(col(x0_ref, nx), (nx, block_k))
+        total = pert_cost + _tp_rollout_total(closed, cvals, state0,
+                                              perturbed, config, block_k)
+        if K_pad != K:
+            gid = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1) \
+                + i * block_k
+            total = jnp.where(gid < K, total, jnp.inf)
+        cost_out[...] = total.reshape(1, 1, block_k)
+
+        # per-plant streaming flash-softmax (mppi.py:860-868): the K-block
+        # loop is innermost, so the scratch accumulators belong to one plant
+        # at a time
+        logits = -cost_out[...].reshape(1, block_k) / lam_ref[0]
+        blk_m = jnp.max(logits)
+
+        @pl.when(i == 0)
+        def _():
+            m_ref[0] = -jnp.inf
+            s_ref[0] = 0.0
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        m_old = m_ref[0]
+        m_new = jnp.maximum(m_old, blk_m)
+        sc = jnp.exp(m_old - m_new)
+        w = jnp.exp(logits - m_new)
+        s_ref[0] = s_ref[0] * sc + jnp.sum(w)
+        acc_ref[...] = acc_ref[...] * sc + jnp.dot(
+            noise, w.reshape(block_k, 1), preferred_element_type=dtype,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        m_ref[0] = m_new
+
+        @pl.when(i == nblocks - 1)
+        def _():
+            # masked read-modify-write of this plant's output column (the
+            # whole (·, N) outputs are VMEM-resident across the grid)
+            laneD = jax.lax.broadcasted_iota(jnp.int32, (D, N), 1)
+            delta_ref[...] = jnp.where(
+                laneD == n, jnp.broadcast_to(acc_ref[...], (D, N)),
+                delta_ref[...],
+            )
+            lane2 = jax.lax.broadcasted_iota(jnp.int32, (2, N), 1)
+            ms_col = jnp.concatenate(
+                [m_ref[0].reshape(1, 1), s_ref[0].reshape(1, 1)], axis=0
+            )
+            ms_ref[...] = jnp.where(
+                lane2 == n, jnp.broadcast_to(ms_col, (2, N)), ms_ref[...]
+            )
+
+    lead_spec = (
+        pl.BlockSpec(memory_space=pltpu.SMEM)
+        if rng_in_kernel
+        else pl.BlockSpec((D, bh), lambda n, i: (0, i),
+                          memory_space=pltpu.VMEM)
+    )
+    op_is_diag = diag_fast
+    fused = pl.pallas_call(
+        kernel,
+        grid=(N, nblocks),
+        in_specs=[
+            lead_spec,
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # x0T (nx, N), whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # U2T (D, N), whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # op (D, 1) or (D, D)
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # mu (D, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # lo (D, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # hi (D, 1)
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # aT (D, N), whole
+            pl.BlockSpec(memory_space=pltpu.SMEM),    # lambda (1,)
+            *const_specs,
+        ],
+        out_specs=(
+            # rank-3 cost: the (1, 1, block_k) block's last two dims match
+            # the array's (1, K-block) exactly, satisfying Mosaic's tiling
+            pl.BlockSpec((1, 1, block_k), lambda n, i: (n, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # delta (D, N), whole
+            pl.BlockSpec(memory_space=pltpu.VMEM),    # ms (2, N), whole
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, 1, K_pad), dtype),
+            jax.ShapeDtypeStruct((D, N), dtype),
+            jax.ShapeDtypeStruct((2, N), dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((D, 1), dtype),
+            pltpu.SMEM((1,), dtype),
+            pltpu.SMEM((1,), dtype),
+        ],
+        interpret=False if rng_in_kernel else _interpret(),
+    )
+
+    def solve(seed_or_bits, x0T, U2T, op, mu_t, lo_t, hi_t, aT, lambda_):
+        colD = lambda v: jnp.asarray(v, dtype).reshape(D, 1)
+        cost_pad, delta, ms = fused(
+            seed_or_bits,
+            jnp.asarray(x0T, dtype),
+            jnp.asarray(U2T, dtype),
+            op.reshape(D, 1) if op_is_diag else op,
+            colD(mu_t), colD(lo_t), colD(hi_t),
+            jnp.asarray(aT, dtype),
+            jnp.asarray(lambda_, dtype).reshape(1),
+            *const_inputs,
+        )
+        return delta, ms, cost_pad.reshape(N, K_pad)[:, :K]
 
     return solve
 

@@ -1110,6 +1110,7 @@ def make_batched_step(
     mesh=None,
     env_axis: str = "data",
     sample_axis: Optional[str] = None,
+    use_pallas: bool = False,
 ):
     """N parallel plants sharing one dynamics/cost call per step.
 
@@ -1140,6 +1141,61 @@ def make_batched_step(
 
     D = T * nu
 
+    transposed_solve = None
+    if use_pallas:
+        from . import pallas_rollout as PR
+
+        transposed_solve = _route_transposed_solve(
+            config,
+            lambda: PR.make_transposed_batched_solve(config, N, dyn, cost),
+            terminal_state_cost, None, None, mesh, "MPPI_Batched",
+        )
+        if transposed_solve is not None and config.K < 2048:
+            # measured crossover (docs/DESIGN.md §6): per-plant noise
+            # regeneration beats the saved HBM traffic only at larger K
+            logger.warning(
+                "use_pallas on MPPI_Batched with K=%d: the fused kernel "
+                "measured faster only for K >= ~2048 (it regenerates the "
+                "shared noise per plant); the XLA path is likely faster here",
+                config.K,
+            )
+
+    def _one_iteration_fused(params, U, x0, k_noise):
+        """The whole N-plant iteration as one (N, K-blocks)-grid kernel: the
+        shared noise is regenerated per plant from block-indexed hardware
+        seeds, and the (N, K, T·nu) perturbed tensor never exists in HBM."""
+        from . import pallas_rollout as PR
+
+        chol, sigma_inv = _sigma_factors(params.noise_sigma)
+        if config.diag_sigma and not config.noise_rho:
+            op = jnp.tile(jnp.diagonal(chol).astype(dtype), T)
+        else:
+            mix = (
+                ar1_mixing(T, config.noise_rho, dtype)
+                if config.noise_rho
+                else jnp.eye(T, dtype=dtype)
+            )
+            op = jnp.kron(mix, chol.astype(dtype))
+        mu_t = jnp.tile(params.noise_mu, T)
+        lo2 = jnp.tile(jnp.broadcast_to(params.u_min, (nu,)).astype(dtype), T)
+        hi2 = jnp.tile(jnp.broadcast_to(params.u_max, (nu,)).astype(dtype), T)
+        a2 = (params.lambda_ * jnp.einsum("ntu,vu->ntv", U, sigma_inv)).reshape(N, D)
+        seed = PR.key_to_seed(k_noise)
+        delta, ms, cost_total = transposed_solve(
+            seed, x0.T, U.reshape(N, D).T, op, mu_t, lo2, hi2, a2.T,
+            params.lambda_,
+        )
+        m, s = ms[0], ms[1]  # (N,), (N,)
+        ctnz, omega = PR.weighting_from_stats(
+            cost_total, params.lambda_, m[:, None], s[:, None]
+        )
+        U_new = U + (delta / s[None, :]).T.reshape(N, T, nu)
+        artifacts = Artifacts(
+            cost_total=cost_total, cost_total_non_zero=ctnz, omega=omega,
+            noise=None, perturbed_action=None, states=None, actions=None,
+        )
+        return U_new, artifacts
+
     def _solve(params: MPPIParams, state: BatchedState, x0, shift: bool, dyn_params=None):
         U = state.U  # (N, T, nu)
         if shift:
@@ -1160,6 +1216,8 @@ def make_batched_step(
         return BatchedState(U=U, key=key), action, artifacts
 
     def _one_iteration(params, U, x0, k_noise, k_roll, dyn_params):
+        if transposed_solve is not None:
+            return _one_iteration_fused(params, U, x0, k_noise)
         # flat (·, T·nu) lane-dense layout (see make_mppi_step); noise is
         # sampled once and shared across envs (mppi.py:837-838)
         chol, sigma_inv = _sigma_factors(params.noise_sigma)

@@ -260,6 +260,67 @@ class TestTransposedSolve:
         np.testing.assert_allclose(np.asarray(delta_k) / float(s_k),
                                    np.asarray(delta_m), rtol=2e-3, atol=1e-5)
 
+    def test_batched_variant(self):
+        """N-plant batched transposed kernel vs the plain-jnp mirror:
+        shared noise across plants, per-plant softmax and update."""
+        N = 3
+        config = MPPIConfig(nx=NX, nu=NU, K=K, T=T, dtype=DT, diag_sigma=True)
+        bits = jax.random.randint(
+            jax.random.PRNGKey(3), (D, K), -(2**31), 2**31 - 1, jnp.int32)
+        solve = PR.make_transposed_batched_solve(
+            config, N, S.wrap_dynamics(config, lin_dyn),
+            S.wrap_cost(config, quad_cost), rng_in_kernel=False)
+        U = jax.random.normal(jax.random.PRNGKey(5), (N, T, NU), DT) * 0.1
+        x0 = jnp.asarray([[-3.0, -2.0], [1.0, 1.0], [0.5, -0.5]], DT)
+        scale_t = jnp.full((D,), 0.8, DT)
+        mu_t = jnp.zeros((D,), DT)
+        lo_t = jnp.full((D,), -1.0, DT)
+        hi_t = jnp.full((D,), 1.0, DT)
+        lam = jnp.asarray(1.0, DT)
+        sigma_inv = jnp.eye(NU, dtype=DT) / 0.64  # matches scale=0.8 chol
+        a2 = (lam * jnp.einsum("ntu,vu->ntv", U, sigma_inv)).reshape(N, D)
+        delta, ms, ct_k = jax.jit(solve)(
+            bits, x0.T, U.reshape(N, D).T, scale_t, mu_t, lo_t, hi_t, a2.T,
+            lam,
+        )
+
+        z = PR._bits_to_normal(bits)
+        noise_shared = z.T * scale_t[None]  # (K, D) — ONE draw for all plants
+        U2 = U.reshape(N, D)
+        pert = jnp.clip(U2[:, None] + noise_shared[None], lo_t, hi_t)
+        noise = pert - U2[:, None]
+        pc = jnp.einsum("nkd,nd->nk", noise, a2)
+        wdyn = S.wrap_dynamics(config, lin_dyn)
+        wcost = S.wrap_cost(config, quad_cost)
+        rcs = []
+        for n in range(N):
+            rc, _, _ = S.rollout_costs(config, wdyn, wcost, None, None, None,
+                                       x0[n], pert[n].reshape(K, T, NU),
+                                       jax.random.PRNGKey(0))
+            rcs.append(rc)
+        ct_m = jnp.stack(rcs) + pc  # (N, K)
+        _, om = S.compute_weighting(ct_m, lam, axis=1)
+        delta_m = jnp.einsum("nk,nkd->nd", om, noise)
+        np.testing.assert_allclose(np.asarray(ct_k), np.asarray(ct_m),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray((delta / ms[1][None]).T),
+                                   np.asarray(delta_m), rtol=2e-4, atol=2e-6)
+        # per-plant normalizers are all positive and distinct
+        assert (np.asarray(ms[1]) > 0).all()
+
+    def test_batched_controller_falls_back_on_cpu(self):
+        """MPPI_Batched(use_pallas=True) on CPU: bit-identical fallback."""
+        from pytorch_mppi_tpu import MPPI_Batched
+
+        kw = dict(num_envs=2, num_samples=64, horizon=5, seed=3)
+        c_ref = MPPI_Batched(lin_dyn, quad_cost, 2, jnp.eye(2, dtype=DT), **kw)
+        c_pal = MPPI_Batched(lin_dyn, quad_cost, 2, jnp.eye(2, dtype=DT),
+                             use_pallas=True, **kw)
+        states = jnp.asarray([[-3.0, -2.0], [1.0, 1.0]], DT)
+        np.testing.assert_array_equal(
+            np.asarray(c_ref.command(states)), np.asarray(c_pal.command(states))
+        )
+
     def test_padded_k(self):
         """K not a multiple of the 128-lane block: phantom rows must carry
         zero weight."""

@@ -119,6 +119,36 @@ class TestCompiledKernels:
         assert ctrl.noise is None
         assert np.isfinite(np.asarray(ctrl.theta)).all()
 
+    def test_transposed_batched_closed_loop(self):
+        """MPPI_Batched with use_pallas=True: the (N, K-blocks)-grid kernel
+        regenerates shared noise per plant in VMEM; plants converge
+        independently and per-plant weights are normalized."""
+        from pytorch_mppi_tpu import MPPI_Batched
+
+        N = 4
+        ctrl = MPPI_Batched(dyn, cost, 2, jnp.eye(2, dtype=DT), num_envs=N,
+                            num_samples=512, horizon=10, seed=3,
+                            u_max=jnp.array([1.0, 1.0], DT), use_pallas=True)
+        states = jnp.asarray([[-3.0, -2.0], [-1.0, 1.0], [4.0, 4.0],
+                              [0.0, -3.0]], DT)
+        d0 = jnp.linalg.norm(states - GOAL, axis=-1)
+        for _ in range(12):
+            actions = ctrl.command(states)
+            states = dyn(states, actions)
+        d1 = jnp.linalg.norm(states - GOAL, axis=-1)
+        assert (np.asarray(d1) < np.asarray(d0) + 0.3).all()
+        assert float(jnp.max(d1)) < 1.5
+        np.testing.assert_allclose(np.asarray(ctrl.omega.sum(axis=1)),
+                                   np.ones(N), rtol=1e-4)
+        # shared noise: identical plants from identical states produce
+        # identical actions
+        ctrl2 = MPPI_Batched(dyn, cost, 2, jnp.eye(2, dtype=DT), num_envs=2,
+                             num_samples=512, horizon=10, seed=3,
+                             u_max=jnp.array([1.0, 1.0], DT), use_pallas=True)
+        same = jnp.asarray([[1.0, -1.0], [1.0, -1.0]], DT)
+        a = np.asarray(ctrl2.command(same))
+        np.testing.assert_array_equal(a[0], a[1])
+
     def test_transposed_solve_compiled_pregen_bits(self):
         """The generalized transposed fused solve, compiled on the chip with
         pre-generated bits, against the identical plain-jnp math — Mosaic
