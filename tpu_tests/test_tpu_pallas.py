@@ -140,11 +140,14 @@ class TestCompiledKernels:
         assert float(jnp.max(d1)) < 1.5
         np.testing.assert_allclose(np.asarray(ctrl.omega.sum(axis=1)),
                                    np.ones(N), rtol=1e-4)
-        # shared noise: identical plants from identical states produce
-        # identical actions
+        # shared noise: identical plants (same state AND same nominal
+        # sequence — the random U init differs per plant) produce identical
+        # actions, because every plant's K-blocks reseed with the same
+        # block-indexed hardware seeds
         ctrl2 = MPPI_Batched(dyn, cost, 2, jnp.eye(2, dtype=DT), num_envs=2,
                              num_samples=512, horizon=10, seed=3,
                              u_max=jnp.array([1.0, 1.0], DT), use_pallas=True)
+        ctrl2.U = jnp.broadcast_to(ctrl2.U[0], ctrl2.U.shape)
         same = jnp.asarray([[1.0, -1.0], [1.0, -1.0]], DT)
         a = np.asarray(ctrl2.command(same))
         np.testing.assert_array_equal(a[0], a[1])
