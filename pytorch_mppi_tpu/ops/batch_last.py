@@ -313,6 +313,17 @@ def _eval(jaxpr, consts, args, bdims, B):
             out = lax.expand_dims(opnd, new_dims)
             write(eqn.outvars[0], out, q)
 
+        elif name in ("cumsum", "cumprod", "cummax", "cummin",
+                      "cumlogsumexp"):
+            (opnd, _), = invals
+            ax = eqn.params["axis"]
+            if ax == p:
+                raise UnsupportedPrimitive(f"{name} along the batch axis")
+            out = eqn.primitive.bind(
+                opnd, **{**eqn.params, "axis": _smap(ax, p)}
+            )
+            write(eqn.outvars[0], out, p)
+
         else:
             raise UnsupportedPrimitive(
                 f"primitive {name!r} with batched operands"

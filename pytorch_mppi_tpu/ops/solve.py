@@ -65,7 +65,7 @@ def make_constrainer(mesh):
     return cset
 
 
-def _sigma_factors(noise_sigma: jax.Array):
+def _sigma_factors(noise_sigma: jax.Array, diag: bool = False):
     """Cholesky factor and inverse of the (nu, nu) control covariance.
 
     Derived inside the traced solve so tuner updates to sigma can never go stale
@@ -73,8 +73,19 @@ def _sigma_factors(noise_sigma: jax.Array):
     nu is tiny (<= a few tens) so this costs nothing next to the rollout.  For a
     diagonal sigma, cholesky == diag(sqrt) and the math reduces exactly to the
     reference's diagonal fast path (mppi.py:131-139, 186-206).
+
+    With ``diag`` (the statically-detected diagonal covariance), the LAPACK
+    cholesky/LU custom calls — which XLA cannot fuse, a fixed per-solve
+    overhead — are replaced by elementwise sqrt/reciprocal of the diagonal,
+    which fuse into the sampling pipeline.
     """
     out_dtype = noise_sigma.dtype
+    if diag:
+        d = jnp.diagonal(noise_sigma)
+        return (
+            jnp.diag(jnp.sqrt(d)).astype(out_dtype),
+            jnp.diag(1.0 / d).astype(out_dtype),
+        )
     if out_dtype not in (jnp.float32, jnp.float64):
         # jnp.linalg has no bf16/f16 kernels; nu is tiny so factor in f32
         noise_sigma = noise_sigma.astype(jnp.float32)
@@ -135,7 +146,7 @@ def sample_noise_flat(key: jax.Array, K: int, reps: int, params: MPPIParams, dty
     """
     nu = params.noise_mu.shape[-1]
     if chol is None:
-        chol, _ = _sigma_factors(params.noise_sigma)
+        chol, _ = _sigma_factors(params.noise_sigma, diag=diag_sigma)
     if antithetic:
         # draw K/2, mirror: marginals stay N(0, I), pairs are perfectly
         # negatively correlated (variance reduction + half the RNG cost)
@@ -555,7 +566,7 @@ def make_mppi_step(
         entirely in VMEM."""
         from . import pallas_rollout as PR
 
-        chol, sigma_inv = _sigma_factors(params.noise_sigma)
+        chol, sigma_inv = _sigma_factors(params.noise_sigma, diag=config.diag_sigma)
         if config.diag_sigma and not config.noise_rho:
             op = jnp.tile(jnp.diagonal(chol).astype(dtype), T)  # (D,) scale
         else:
@@ -602,7 +613,7 @@ def make_mppi_step(
         # rows make noise gen + clamp + action cost ~2.3x faster end-to-end at
         # K=10k, T=30.  Reshapes to (K, T, nu) below are row-major views, so
         # results are bit-identical to the 3-D formulation.
-        chol, sigma_inv = _sigma_factors(params.noise_sigma)
+        chol, sigma_inv = _sigma_factors(params.noise_sigma, diag=config.diag_sigma)
         noise2 = sample_noise_flat(
             k_noise, K, T, params, dtype, antithetic=config.antithetic, chol=chol,
             noise_rho=config.noise_rho, diag_sigma=config.diag_sigma,
@@ -794,7 +805,7 @@ def make_smppi_step(
         from . import pallas_rollout as PR
 
         base = params.base
-        chol, sigma_inv = _sigma_factors(base.noise_sigma)
+        chol, sigma_inv = _sigma_factors(base.noise_sigma, diag=config.diag_sigma)
         if config.diag_sigma and not config.noise_rho:
             op = jnp.tile(jnp.diagonal(chol).astype(dtype), T)
         else:
@@ -834,7 +845,7 @@ def make_smppi_step(
         base = params.base
         # flat (K, T·nu) lane-dense layout throughout (see make_mppi_step);
         # noise lives in action-*rate* space (mppi.py:539-552)
-        chol, sigma_inv = _sigma_factors(base.noise_sigma)
+        chol, sigma_inv = _sigma_factors(base.noise_sigma, diag=config.diag_sigma)
         noise2 = sample_noise_flat(
             k_noise, K, T, base, dtype, antithetic=config.antithetic, chol=chol,
             noise_rho=config.noise_rho, diag_sigma=config.diag_sigma,
@@ -978,7 +989,7 @@ def make_kmppi_step(
         from . import pallas_rollout as PR
 
         base = params.base
-        chol, sigma_inv = _sigma_factors(base.noise_sigma)
+        chol, sigma_inv = _sigma_factors(base.noise_sigma, diag=config.diag_sigma)
         if config.diag_sigma and not config.noise_rho:
             op = jnp.tile(jnp.diagonal(chol).astype(dtype), nsp)
         else:
@@ -1020,7 +1031,7 @@ def make_kmppi_step(
         # flat lane-dense layout (see make_mppi_step): control points live in
         # (K, nsp·nu), the horizon in (K, T·nu).  Noise is sampled only at
         # support points (mppi.py:657-664).
-        chol, sigma_inv = _sigma_factors(base.noise_sigma)
+        chol, sigma_inv = _sigma_factors(base.noise_sigma, diag=config.diag_sigma)
         noise_theta2 = sample_noise_flat(
             k_noise, K, nsp, base, dtype, antithetic=config.antithetic, chol=chol,
             noise_rho=config.noise_rho, diag_sigma=config.diag_sigma,
@@ -1166,7 +1177,7 @@ def make_batched_step(
         seeds, and the (N, K, T·nu) perturbed tensor never exists in HBM."""
         from . import pallas_rollout as PR
 
-        chol, sigma_inv = _sigma_factors(params.noise_sigma)
+        chol, sigma_inv = _sigma_factors(params.noise_sigma, diag=config.diag_sigma)
         if config.diag_sigma and not config.noise_rho:
             op = jnp.tile(jnp.diagonal(chol).astype(dtype), T)
         else:
@@ -1220,7 +1231,7 @@ def make_batched_step(
             return _one_iteration_fused(params, U, x0, k_noise)
         # flat (·, T·nu) lane-dense layout (see make_mppi_step); noise is
         # sampled once and shared across envs (mppi.py:837-838)
-        chol, sigma_inv = _sigma_factors(params.noise_sigma)
+        chol, sigma_inv = _sigma_factors(params.noise_sigma, diag=config.diag_sigma)
         noise2 = sample_noise_flat(
             k_noise, K, T, params, dtype, antithetic=config.antithetic, chol=chol,
             noise_rho=config.noise_rho, diag_sigma=config.diag_sigma,

@@ -130,6 +130,12 @@ class TestSupported:
 
         _check(f, (_rand(B, 2), _rand(B, 2)), [True, True])
 
+    def test_cumsum_feature_axis(self):
+        def f(s, u):
+            return jnp.cumsum(s, axis=-1) + jnp.cumprod(1.0 + 0.01 * u, axis=-1)
+
+        _check(f, (_rand(B, 4), _rand(B, 4)), [True, True])
+
     def test_norm_sqrt_rsqrt(self):
         def f(s, u):
             n = jnp.sqrt((s**2).sum(axis=-1) + 1e-9)
