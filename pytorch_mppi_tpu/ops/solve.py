@@ -393,6 +393,89 @@ class StepFns(NamedTuple):
     get_rollouts: Callable  # (params, state, x0 (R, nx), U (T, nu)) -> (R, T, nx)
 
 
+def make_sharded_transposed_solve(config, dynamics, running_cost, mesh,
+                                  sample_axis: str = "k",
+                                  rng_in_kernel: bool = True):
+    """The transposed fused kernel under ``shard_map``: K sharded over
+    ``sample_axis``, each shard running its own kernel over K_local, with the
+    streaming-softmax statistics combined across shards by three small
+    collectives riding ICI — exactly the reductions a sharded MPPI solve
+    needs (SURVEY.md §5.8):
+
+        m_g = pmax(m_l);  s_g = psum(s_l · e^{m_l − m_g});
+        delta_g = psum(delta_l · e^{m_l − m_g})
+
+    (the flash-softmax merge rule, associative and order-stable under pmax).
+    Per-shard noise streams derive from the same per-solve seed offset by
+    ``axis_index * local_nblocks``, so runs are deterministic for a fixed
+    mesh; the stream differs from the unsharded kernel's (documented — the
+    hardware-PRNG stream is a per-layout property).
+
+    Same call signature as :func:`pallas_rollout.make_transposed_fused_solve`
+    (cost_total comes back K-sharded over the mesh).  With
+    ``rng_in_kernel=False`` (CPU-mesh tests) the leading operand is a global
+    (D, K) int32 bits array, sharded on its lane axis.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    shard_map = jax.shard_map
+
+    from . import pallas_rollout as PR
+
+    nshards = mesh.shape[sample_axis]
+    if config.K % nshards:
+        raise ValueError(
+            f"K={config.K} must divide evenly over the {nshards}-way "
+            f"{sample_axis!r} mesh axis for the sharded fused solve"
+        )
+    K_local = config.K // nshards
+    local_cfg = config.__class__(**{**config.__dict__, "K": K_local})
+    local_solve = PR.make_transposed_fused_solve(
+        local_cfg, dynamics, running_cost, rng_in_kernel=rng_in_kernel
+    )
+    block_k, K_pad_l = PR._transposed_block(K_local, config.T * config.nu)
+    local_nblocks = K_pad_l // block_k
+
+    def per_shard(lead, x0T, U2, op, mu_t, lo_t, hi_t, a_flat, lam):
+        if rng_in_kernel:
+            idx = jax.lax.axis_index(sample_axis)
+            lead = jnp.stack([
+                lead[0] + idx.astype(lead.dtype) * local_nblocks, lead[1]
+            ])
+        delta_l, m_l, s_l, cost_l = local_solve(
+            lead, x0T, U2, op, mu_t, lo_t, hi_t, a_flat, lam
+        )
+        m_g = jax.lax.pmax(m_l, sample_axis)
+        corr = jnp.exp(m_l - m_g)
+        s_g = jax.lax.psum(s_l * corr, sample_axis)
+        delta_g = jax.lax.psum(delta_l * corr, sample_axis)
+        return delta_g, m_g, s_g, cost_l
+
+    lead_spec = P() if rng_in_kernel else P(None, sample_axis)
+    sharded = shard_map(
+        per_shard, mesh=mesh,
+        in_specs=(lead_spec, P(None, sample_axis), P(), P(), P(), P(), P(),
+                  P(), P()),
+        out_specs=(P(), P(), P(), P(sample_axis)),
+        # pallas_call has no varying-manual-axes rule; the collectives above
+        # make the replicated outputs genuinely replicated
+        check_vma=False,
+    )
+
+    def solve(seed_or_bits, x0T, U2, op, mu_t, lo_t, hi_t, a_flat, lambda_):
+        return sharded(
+            seed_or_bits, jnp.asarray(x0T, config.dtype),
+            jnp.asarray(U2, config.dtype), op,
+            jnp.asarray(mu_t, config.dtype),
+            jnp.asarray(lo_t, config.dtype),
+            jnp.asarray(hi_t, config.dtype),
+            jnp.asarray(a_flat, config.dtype),
+            jnp.asarray(lambda_, config.dtype),
+        )
+
+    return solve
+
+
 def _route_transposed_solve(config, builder, terminal_state_cost,
                             sample_trajectories, specific_dynamics, mesh,
                             variant: str):
@@ -526,6 +609,48 @@ def make_mppi_step(
                     "use_pallas='rollout' requested but the configuration is "
                     "ineligible (terminal cost / specific dynamics / M>1 / "
                     "stochastic / non-f32 / sharded); using the XLA scan path"
+                )
+        elif mesh is not None:
+            # K-sharded fused path: per-shard kernels + the three flash-stat
+            # collectives (pmax/psum) over ICI.  null_action is shard-global
+            # (row 0 of shard 0 only) and not plumbed into the local kernels
+            # — fall back for it.
+            from . import batch_last as BL
+
+            eligible = (
+                not PR._interpret()
+                and not config.sample_null_action
+                and PR.transposed_eligible(
+                    config,
+                    has_terminal=terminal_state_cost is not None,
+                    has_specific_sampler=(
+                        sample_trajectories is not None
+                        or specific_dynamics is not None
+                    ),
+                    mesh=None,
+                )
+            )
+            if eligible:
+                try:
+                    transposed_solve = make_sharded_transposed_solve(
+                        config, dyn, cost, mesh, sample_axis
+                    )
+                    logger.info(
+                        "use_pallas: K-sharded transposed fused kernel over "
+                        "the %r mesh axis (per-shard kernels + pmax/psum "
+                        "flash-stat collectives)", sample_axis,
+                    )
+                except (BL.UnsupportedPrimitive, ValueError) as e:
+                    logger.warning(
+                        "use_pallas: sharded fused solve unavailable (%s); "
+                        "using the XLA scan path", e,
+                    )
+            else:
+                logger.warning(
+                    "use_pallas requested on a sharded configuration that is "
+                    "ineligible for the fused kernel (null action / terminal "
+                    "cost / sampler hooks / M>1 / stochastic / non-f32 / "
+                    "non-TPU); using the XLA scan path"
                 )
         else:
             transposed_solve = _route_transposed_solve(

@@ -321,6 +321,53 @@ class TestTransposedSolve:
             np.asarray(c_ref.command(states)), np.asarray(c_pal.command(states))
         )
 
+    def test_sharded_solve_matches_unsharded(self):
+        """The K-sharded fused solve (per-shard kernels + pmax/psum
+        flash-stat merge over an 8-virtual-device 'k' mesh) must match the
+        single-device kernel bit-for-bit given identical injected bits — the
+        flash merge rule is exact up to summation association."""
+        import jax
+
+        from pytorch_mppi_tpu.parallel import make_mesh
+
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = make_mesh((8,), ("k",))
+        KS = 1024  # 128 per shard, one 128-lane block each
+        config = MPPIConfig(nx=NX, nu=NU, K=KS, T=T, dtype=DT, diag_sigma=True)
+        bits = jax.random.randint(
+            jax.random.PRNGKey(3), (D, KS), -(2**31), 2**31 - 1, jnp.int32)
+        U2 = jax.random.normal(jax.random.PRNGKey(5), (D,), DT) * 0.1
+        scale_t = jnp.full((D,), 0.8, DT)
+        zero = jnp.zeros((D,), DT)
+        lo_t = jnp.full((D,), -1.0, DT)
+        hi_t = jnp.full((D,), 1.0, DT)
+        a_flat = U2 * 0.7
+        lam = jnp.asarray(1.0, DT)
+        x0 = jnp.array([-3.0, -2.0], DT)
+        x0T = jnp.broadcast_to(x0[:, None], (NX, KS))
+
+        wdyn = S.wrap_dynamics(config, lin_dyn)
+        wcost = S.wrap_cost(config, quad_cost)
+        sharded = S.make_sharded_transposed_solve(
+            config, wdyn, wcost, mesh, "k", rng_in_kernel=False)
+        d_s, m_s, s_s, ct_s = jax.jit(sharded)(
+            bits, x0T, U2, scale_t, zero, lo_t, hi_t, a_flat, lam)
+
+        single = PR.make_transposed_fused_solve(
+            config, wdyn, wcost, rng_in_kernel=False)
+        d_1, m_1, s_1, ct_1 = jax.jit(single)(
+            bits, x0T, U2, scale_t, zero, lo_t, hi_t, a_flat, lam)
+
+        np.testing.assert_allclose(np.asarray(ct_s), np.asarray(ct_1),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(float(m_s), float(m_1), rtol=1e-7)
+        np.testing.assert_allclose(float(s_s), float(s_1), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(d_s) / float(s_s), np.asarray(d_1) / float(s_1),
+            rtol=1e-4, atol=1e-7,
+        )
+
     def test_padded_k(self):
         """K not a multiple of the 128-lane block: phantom rows must carry
         zero weight."""

@@ -152,6 +152,27 @@ class TestCompiledKernels:
         a = np.asarray(ctrl2.command(same))
         np.testing.assert_array_equal(a[0], a[1])
 
+    def test_sharded_fused_solve_one_device_mesh(self):
+        """use_pallas + mesh: the K-sharded fused path (per-shard kernels +
+        pmax/psum flash-stat collectives) compiled on a 1-device 'k' mesh —
+        validates the shard_map+Pallas composition on real hardware (the
+        multi-shard math is pinned on the CPU virtual mesh,
+        tests/test_pallas_transposed.py)."""
+        from pytorch_mppi_tpu.parallel import make_mesh
+
+        mesh = make_mesh((1,), ("k",))
+        ctrl = MPPI(dyn, cost, 2, jnp.eye(2, dtype=DT), num_samples=512,
+                    horizon=10, lambda_=1.0, seed=3, mesh=mesh,
+                    sample_axis="k", use_pallas=True,
+                    u_max=jnp.array([1.0, 1.0], DT))
+        state = jnp.array([-3.0, -2.0], DT)
+        for _ in range(12):
+            a = ctrl.command(state)
+            state = dyn(state[None], a[None])[0]
+        assert float(jnp.linalg.norm(GOAL - state)) < 1.0
+        # the fused path ran: noise artifact not materialized
+        assert ctrl.noise is None
+
     def test_transposed_solve_compiled_pregen_bits(self):
         """The generalized transposed fused solve, compiled on the chip with
         pre-generated bits, against the identical plain-jnp math — Mosaic
