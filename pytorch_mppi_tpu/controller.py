@@ -160,6 +160,20 @@ def _resolve_prng_impl(prng_impl, mesh, device=None):
     return None
 
 
+def _gate_use_pallas(use_pallas, device):
+    """The fused kernels compile for the TPU backend; a controller pinned to
+    a non-TPU device (device='cpu' on a TPU host) must take the XLA path —
+    the factory-level backend check sees only the global default backend
+    (round-3 review finding)."""
+    if use_pallas and device is not None and device.platform != "tpu":
+        logger.warning(
+            "use_pallas requires a TPU placement; controller pinned to %s "
+            "uses the XLA scan path", device,
+        )
+        return False
+    return use_pallas
+
+
 def _is_diag(sigma) -> bool:
     """Static diagonality check at construction/setter time (the reference
     detects diagonal covariance at init, mppi.py:131-139)."""
@@ -241,10 +255,10 @@ class MPPI:
     ):
         self.mesh = mesh
         self.sample_axis = sample_axis
-        self.use_pallas = use_pallas
         # learned-model weights: a traced pytree, swappable with zero recompilation
         self.dynamics_params = dynamics_params
         self.d = _resolve_device(device)
+        self.use_pallas = _gate_use_pallas(use_pallas, self.d)
         # PRNG implementation (see _resolve_prng_impl): "auto" picks the TPU
         # hardware generator ('rbg', ~3-5x faster sampling) on an unsharded
         # TPU placement and partitionable threefry everywhere else; 'rbg'/
@@ -928,9 +942,9 @@ class MPPI_Batched:
         self.mesh = mesh
         self.env_axis = env_axis
         self.sample_axis = sample_axis
-        self.use_pallas = use_pallas
         self.dynamics_params = dynamics_params
         self.d = _resolve_device(device)
+        self.use_pallas = _gate_use_pallas(use_pallas, self.d)
         sigma = _coerce_sigma(noise_sigma)
         self.dtype = sigma.dtype
         self.N = int(num_envs)
@@ -985,7 +999,7 @@ class MPPI_Batched:
             self.config, self.N, dynamics, running_cost,
             terminal_state_cost=terminal_state_cost,
             mesh=mesh, env_axis=env_axis, sample_axis=sample_axis,
-            use_pallas=use_pallas,
+            use_pallas=self.use_pallas,
         )
         self.prng_impl = _resolve_prng_impl(prng_impl, mesh, self.d)
         if key is None:

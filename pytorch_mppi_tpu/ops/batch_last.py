@@ -368,14 +368,22 @@ def _broadcast_batch_last(inval, params, B):
     q = candidates[0]
     new_shape = tuple(s for i, s in enumerate(shape) if i != q) + (B,)
     nd = len(new_shape)
-    new_dims = []
     batch_operand_dim = covered.get(q)
-    for j, d in enumerate(dims):
-        if j == batch_operand_dim:
-            new_dims.append(nd - 1)  # the size-1 operand slot feeds the batch
-        else:
-            new_dims.append(_smap(d, q))
-    out = lax.broadcast_in_dim(opnd, new_shape, tuple(new_dims))
+    if batch_operand_dim is not None:
+        # the operand's size-1 batch slot must feed the stored LAST axis;
+        # broadcast_dimensions must be strictly increasing, so move the slot
+        # to the operand's end first (a pure squeeze+append reshape)
+        opnd = lax.reshape(
+            opnd,
+            tuple(s for j, s in enumerate(opnd.shape)
+                  if j != batch_operand_dim) + (1,),
+        )
+        new_dims = tuple(
+            _smap(d, q) for j, d in enumerate(dims) if j != batch_operand_dim
+        ) + (nd - 1,)
+    else:
+        new_dims = tuple(_smap(d, q) for d in dims)
+    out = lax.broadcast_in_dim(opnd, new_shape, new_dims)
     return out, q
 
 
@@ -448,3 +456,7 @@ def supports_batch_last(jaxpr, consts, orig_avals, batched, batch_size):
         return True, ""
     except UnsupportedPrimitive as e:
         return False, str(e)
+    except (TypeError, ValueError, NotImplementedError) as e:
+        # an evaluation-rule gap must gate to the scan-path fallback, never
+        # crash controller construction
+        return False, f"batch-last evaluation failed: {type(e).__name__}: {e}"

@@ -380,16 +380,22 @@ def _tp_rollout_total(closed, cvals, state0, perturbed, config, block_k):
     return total
 
 
-def _tp_flash_tail(i, nblocks, total, lam, upd_vec, cost_out, delta_ref,
-                   m_ref, s_ref, acc_ref, K, K_pad, block_k, dtype):
-    """Phantom-row masking + streaming flash-softmax accumulation of the
-    weighted update vector (mppi.py:254-270)."""
-    if K_pad != K:
-        gid = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1) + i * block_k
-        total = jnp.where(gid < K, total, jnp.inf)
-    cost_out[...] = total
+def _tp_mask_phantom(total, i, K, K_pad, block_k):
+    """Phantom rows (global index >= K) get +inf cost -> weight exactly 0."""
+    if K_pad == K:
+        return total
+    gid = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1) + i * block_k
+    return jnp.where(gid < K, total, jnp.inf)
 
-    logits = -cost_out[...] / lam
+
+def _tp_flash_accumulate(i, logits, upd_vec, m_ref, s_ref, acc_ref,
+                         block_k, dtype):
+    """ONE copy of the numerically delicate streaming flash-softmax merge
+    (mppi.py:254-270), shared by every transposed kernel: reset the running
+    (max m, normalizer s, weighted-update accumulator) at block 0, then
+    rescale-and-accumulate.  ``upd_vec`` is the (rows, block_k) vector whose
+    weighted sum is being accumulated (rectified noise, or theta-space noise
+    for KMPPI)."""
     blk_m = jnp.max(logits)
 
     @pl.when(i == 0)
@@ -408,6 +414,17 @@ def _tp_flash_tail(i, nblocks, total, lam, upd_vec, cost_out, delta_ref,
         precision=jax.lax.Precision.HIGHEST,
     )
     m_ref[0] = m_new
+
+
+def _tp_flash_tail(i, nblocks, total, lam, upd_vec, cost_out, delta_ref,
+                   m_ref, s_ref, acc_ref, K, K_pad, block_k, dtype):
+    """Standard single-plant tail: mask phantoms, write the cost row, run the
+    shared flash merge, finalize delta at the last block."""
+    total = _tp_mask_phantom(total, i, K, K_pad, block_k)
+    cost_out[...] = total
+    logits = -cost_out[...] / lam
+    _tp_flash_accumulate(i, logits, upd_vec, m_ref, s_ref, acc_ref, block_k,
+                         dtype)
 
     @pl.when(i == nblocks - 1)
     def _():
@@ -926,34 +943,15 @@ def make_transposed_batched_solve(
         state0 = jnp.broadcast_to(col(x0_ref, nx), (nx, block_k))
         total = pert_cost + _tp_rollout_total(closed, cvals, state0,
                                               perturbed, config, block_k)
-        if K_pad != K:
-            gid = jax.lax.broadcasted_iota(jnp.int32, (1, block_k), 1) \
-                + i * block_k
-            total = jnp.where(gid < K, total, jnp.inf)
+        total = _tp_mask_phantom(total, i, K, K_pad, block_k)
         cost_out[...] = total.reshape(1, 1, block_k)
 
         # per-plant streaming flash-softmax (mppi.py:860-868): the K-block
         # loop is innermost, so the scratch accumulators belong to one plant
         # at a time
         logits = -cost_out[...].reshape(1, block_k) / lam_ref[0]
-        blk_m = jnp.max(logits)
-
-        @pl.when(i == 0)
-        def _():
-            m_ref[0] = -jnp.inf
-            s_ref[0] = 0.0
-            acc_ref[...] = jnp.zeros_like(acc_ref)
-
-        m_old = m_ref[0]
-        m_new = jnp.maximum(m_old, blk_m)
-        sc = jnp.exp(m_old - m_new)
-        w = jnp.exp(logits - m_new)
-        s_ref[0] = s_ref[0] * sc + jnp.sum(w)
-        acc_ref[...] = acc_ref[...] * sc + jnp.dot(
-            noise, w.reshape(block_k, 1), preferred_element_type=dtype,
-            precision=jax.lax.Precision.HIGHEST,
-        )
-        m_ref[0] = m_new
+        _tp_flash_accumulate(i, logits, noise, m_ref, s_ref, acc_ref,
+                             block_k, dtype)
 
         @pl.when(i == nblocks - 1)
         def _():

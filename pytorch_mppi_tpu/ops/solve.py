@@ -393,6 +393,35 @@ class StepFns(NamedTuple):
     get_rollouts: Callable  # (params, state, x0 (R, nx), U (T, nu)) -> (R, T, nx)
 
 
+def _transposed_operands(noise_sigma, noise_mu, u_min, u_max, config, reps,
+                         nu, dtype):
+    """Per-solve operands of the transposed kernels, shared by all four fused
+    iterations: sampler factors, the noise operator (per-lane scale for
+    white-diagonal sigma, else the ``kron(A_rho, chol)`` transposed mixing
+    matrix), and the ``reps``-tiled mu/bounds columns."""
+    chol, sigma_inv = _sigma_factors(noise_sigma, diag=config.diag_sigma)
+    if config.diag_sigma and not config.noise_rho:
+        op = jnp.tile(jnp.diagonal(chol).astype(dtype), reps)
+    else:
+        mix = (
+            ar1_mixing(reps, config.noise_rho, dtype)
+            if config.noise_rho
+            else jnp.eye(reps, dtype=dtype)
+        )
+        op = jnp.kron(mix, chol.astype(dtype))
+    mu_t = jnp.tile(noise_mu, reps)
+    lo = jnp.tile(jnp.broadcast_to(u_min, (nu,)).astype(dtype), reps)
+    hi = jnp.tile(jnp.broadcast_to(u_max, (nu,)).astype(dtype), reps)
+    return sigma_inv, op, mu_t, lo, hi
+
+
+def _x0_to_lanes(x0, K):
+    """(nx,) shared or (K, nx) per-sample initial states -> (nx, K)."""
+    if x0.ndim == 2:
+        return x0.T
+    return jnp.broadcast_to(x0[:, None], (x0.shape[-1], K))
+
+
 def make_sharded_transposed_solve(config, dynamics, running_cost, mesh,
                                   sample_axis: str = "k",
                                   rng_in_kernel: bool = True):
@@ -478,11 +507,13 @@ def make_sharded_transposed_solve(config, dynamics, running_cost, mesh,
 
 def _route_transposed_solve(config, builder, terminal_state_cost,
                             sample_trajectories, specific_dynamics, mesh,
-                            variant: str):
+                            variant: str, sharded: bool = False):
     """Shared ``use_pallas`` routing for the transposed fused kernels: checks
     static eligibility + backend, builds the kernel (probing the dynamics'
     batch-last vocabulary), and logs the decision.  Returns the solve or
-    None (XLA scan fallback)."""
+    None (XLA scan fallback).  With ``sharded``, the builder wraps per-shard
+    kernels in shard_map (the mesh itself is then expected, and null-action
+    injection — shard-global row 0 — is additionally ineligible)."""
     from . import batch_last as BL
     from . import pallas_rollout as PR
 
@@ -492,13 +523,19 @@ def _route_transposed_solve(config, builder, terminal_state_cost,
             "the XLA scan path on backend %r", jax.default_backend(),
         )
         return None
+    if sharded and config.sample_null_action:
+        logger.warning(
+            "use_pallas: sample_null_action is shard-global and not plumbed "
+            "into the sharded fused kernels; using the XLA scan path"
+        )
+        return None
     if not PR.transposed_eligible(
         config,
         has_terminal=terminal_state_cost is not None,
         has_specific_sampler=(
             sample_trajectories is not None or specific_dynamics is not None
         ),
-        mesh=mesh,
+        mesh=None if sharded else mesh,
     ):
         logger.warning(
             "use_pallas requested but the %s configuration is ineligible "
@@ -509,16 +546,18 @@ def _route_transposed_solve(config, builder, terminal_state_cost,
         return None
     try:
         solve = builder()
-    except BL.UnsupportedPrimitive as e:
+    except (BL.UnsupportedPrimitive, ValueError) as e:
         logger.warning(
-            "use_pallas: dynamics/cost use an operation outside the "
-            "batch-last kernel vocabulary (%s); using the XLA scan path", e,
+            "use_pallas: fused kernel unavailable for this %s configuration "
+            "(%s); using the XLA scan path", variant, e,
         )
         return None
     logger.info(
-        "use_pallas: %s routing to the transposed K-on-lanes fused kernel "
+        "use_pallas: %s routing to the transposed K-on-lanes fused kernel%s "
         "(docs/DESIGN.md §6); its own hardware-PRNG noise stream; "
         "noise/perturbed artifacts are not materialized", variant,
+        " (K-sharded: per-shard kernels + pmax/psum flash-stat collectives)"
+        if sharded else "",
     )
     return solve
 
@@ -612,46 +651,15 @@ def make_mppi_step(
                 )
         elif mesh is not None:
             # K-sharded fused path: per-shard kernels + the three flash-stat
-            # collectives (pmax/psum) over ICI.  null_action is shard-global
-            # (row 0 of shard 0 only) and not plumbed into the local kernels
-            # — fall back for it.
-            from . import batch_last as BL
-
-            eligible = (
-                not PR._interpret()
-                and not config.sample_null_action
-                and PR.transposed_eligible(
-                    config,
-                    has_terminal=terminal_state_cost is not None,
-                    has_specific_sampler=(
-                        sample_trajectories is not None
-                        or specific_dynamics is not None
-                    ),
-                    mesh=None,
-                )
+            # collectives (pmax/psum) over ICI
+            transposed_solve = _route_transposed_solve(
+                config,
+                lambda: make_sharded_transposed_solve(
+                    config, dyn, cost, mesh, sample_axis
+                ),
+                terminal_state_cost, sample_trajectories, specific_dynamics,
+                mesh, "MPPI", sharded=True,
             )
-            if eligible:
-                try:
-                    transposed_solve = make_sharded_transposed_solve(
-                        config, dyn, cost, mesh, sample_axis
-                    )
-                    logger.info(
-                        "use_pallas: K-sharded transposed fused kernel over "
-                        "the %r mesh axis (per-shard kernels + pmax/psum "
-                        "flash-stat collectives)", sample_axis,
-                    )
-                except (BL.UnsupportedPrimitive, ValueError) as e:
-                    logger.warning(
-                        "use_pallas: sharded fused solve unavailable (%s); "
-                        "using the XLA scan path", e,
-                    )
-            else:
-                logger.warning(
-                    "use_pallas requested on a sharded configuration that is "
-                    "ineligible for the fused kernel (null action / terminal "
-                    "cost / sampler hooks / M>1 / stochastic / non-f32 / "
-                    "non-TPU); using the XLA scan path"
-                )
         else:
             transposed_solve = _route_transposed_solve(
                 config,
@@ -691,26 +699,12 @@ def make_mppi_step(
         entirely in VMEM."""
         from . import pallas_rollout as PR
 
-        chol, sigma_inv = _sigma_factors(params.noise_sigma, diag=config.diag_sigma)
-        if config.diag_sigma and not config.noise_rho:
-            op = jnp.tile(jnp.diagonal(chol).astype(dtype), T)  # (D,) scale
-        else:
-            mix = (
-                ar1_mixing(T, config.noise_rho, dtype)
-                if config.noise_rho
-                else jnp.eye(T, dtype=dtype)
-            )
-            # transposed mixing operator: noise_T = kron(A, chol) @ z_T
-            # (the XLA path's z2 @ kron(A^T, chol^T), transposed)
-            op = jnp.kron(mix, chol.astype(dtype))
-        mu_t = jnp.tile(params.noise_mu, T)
-        lo2 = jnp.tile(jnp.broadcast_to(params.u_min, (nu,)).astype(dtype), T)
-        hi2 = jnp.tile(jnp.broadcast_to(params.u_max, (nu,)).astype(dtype), T)
+        sigma_inv, op, mu_t, lo2, hi2 = _transposed_operands(
+            params.noise_sigma, params.noise_mu, params.u_min, params.u_max,
+            config, T, nu, dtype,
+        )
         a_flat = (params.lambda_ * (U @ sigma_inv.T)).reshape(D)
-        if x0.ndim == 2:
-            x0T = x0.T
-        else:
-            x0T = jnp.broadcast_to(x0[:, None], (x0.shape[-1], K))
+        x0T = _x0_to_lanes(x0, K)
         seed = PR.key_to_seed(k_noise)
         delta, m, s, cost_total = transposed_solve(
             seed, x0T, U.reshape(D), op, mu_t, lo2, hi2, a_flat,
@@ -930,26 +924,14 @@ def make_smppi_step(
         from . import pallas_rollout as PR
 
         base = params.base
-        chol, sigma_inv = _sigma_factors(base.noise_sigma, diag=config.diag_sigma)
-        if config.diag_sigma and not config.noise_rho:
-            op = jnp.tile(jnp.diagonal(chol).astype(dtype), T)
-        else:
-            mix = (
-                ar1_mixing(T, config.noise_rho, dtype)
-                if config.noise_rho
-                else jnp.eye(T, dtype=dtype)
-            )
-            op = jnp.kron(mix, chol.astype(dtype))
-        mu_t = jnp.tile(base.noise_mu, T)
-        lo2 = jnp.tile(jnp.broadcast_to(base.u_min, (nu,)).astype(dtype), T)
-        hi2 = jnp.tile(jnp.broadcast_to(base.u_max, (nu,)).astype(dtype), T)
+        sigma_inv, op, mu_t, lo2, hi2 = _transposed_operands(
+            base.noise_sigma, base.noise_mu, base.u_min, base.u_max,
+            config, T, nu, dtype,
+        )
         alo2 = jnp.tile(jnp.broadcast_to(params.action_min, (nu,)).astype(dtype), T)
         ahi2 = jnp.tile(jnp.broadcast_to(params.action_max, (nu,)).astype(dtype), T)
         a_flat = (base.lambda_ * (U @ sigma_inv.T)).reshape(D)
-        if x0.ndim == 2:
-            x0T = x0.T
-        else:
-            x0T = jnp.broadcast_to(x0[:, None], (x0.shape[-1], K))
+        x0T = _x0_to_lanes(x0, K)
         seed = PR.key_to_seed(k_noise)
         delta, m, s, cost_total = transposed_solve(
             seed, x0T, U.reshape(D), action_sequence.reshape(D), op, mu_t,
@@ -1114,27 +1096,15 @@ def make_kmppi_step(
         from . import pallas_rollout as PR
 
         base = params.base
-        chol, sigma_inv = _sigma_factors(base.noise_sigma, diag=config.diag_sigma)
-        if config.diag_sigma and not config.noise_rho:
-            op = jnp.tile(jnp.diagonal(chol).astype(dtype), nsp)
-        else:
-            mix = (
-                ar1_mixing(nsp, config.noise_rho, dtype)
-                if config.noise_rho
-                else jnp.eye(nsp, dtype=dtype)
-            )
-            op = jnp.kron(mix, chol.astype(dtype))
-        mu_p = jnp.tile(base.noise_mu, nsp)
-        lop = jnp.tile(jnp.broadcast_to(base.u_min, (nu,)).astype(dtype), nsp)
-        hip = jnp.tile(jnp.broadcast_to(base.u_max, (nu,)).astype(dtype), nsp)
+        sigma_inv, op, mu_p, lop, hip = _transposed_operands(
+            base.noise_sigma, base.noise_mu, base.u_min, base.u_max,
+            config, nsp, nu, dtype,
+        )
         lo2 = jnp.tile(jnp.broadcast_to(base.u_min, (nu,)).astype(dtype), T)
         hi2 = jnp.tile(jnp.broadcast_to(base.u_max, (nu,)).astype(dtype), T)
         a_flat = (base.lambda_ * (U @ sigma_inv.T)).reshape(D)
         Wt = jnp.kron(params.interp_full.astype(dtype), jnp.eye(nu, dtype=dtype))
-        if x0.ndim == 2:
-            x0T = x0.T
-        else:
-            x0T = jnp.broadcast_to(x0[:, None], (x0.shape[-1], K))
+        x0T = _x0_to_lanes(x0, K)
         seed = PR.key_to_seed(k_noise)
         delta_th, m, s, cost_total = transposed_solve(
             seed, x0T, U.reshape(D), theta.reshape(Dp), op, mu_p, lop, hip,
@@ -1302,19 +1272,10 @@ def make_batched_step(
         seeds, and the (N, K, T·nu) perturbed tensor never exists in HBM."""
         from . import pallas_rollout as PR
 
-        chol, sigma_inv = _sigma_factors(params.noise_sigma, diag=config.diag_sigma)
-        if config.diag_sigma and not config.noise_rho:
-            op = jnp.tile(jnp.diagonal(chol).astype(dtype), T)
-        else:
-            mix = (
-                ar1_mixing(T, config.noise_rho, dtype)
-                if config.noise_rho
-                else jnp.eye(T, dtype=dtype)
-            )
-            op = jnp.kron(mix, chol.astype(dtype))
-        mu_t = jnp.tile(params.noise_mu, T)
-        lo2 = jnp.tile(jnp.broadcast_to(params.u_min, (nu,)).astype(dtype), T)
-        hi2 = jnp.tile(jnp.broadcast_to(params.u_max, (nu,)).astype(dtype), T)
+        sigma_inv, op, mu_t, lo2, hi2 = _transposed_operands(
+            params.noise_sigma, params.noise_mu, params.u_min, params.u_max,
+            config, T, nu, dtype,
+        )
         a2 = (params.lambda_ * jnp.einsum("ntu,vu->ntv", U, sigma_inv)).reshape(N, D)
         seed = PR.key_to_seed(k_noise)
         delta, ms, cost_total = transposed_solve(

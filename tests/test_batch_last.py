@@ -103,6 +103,19 @@ class TestSupported:
 
         _check(f, (_rand(B, 2), _rand(B, 2)), [True, True])
 
+    def test_broadcast_rank_aligned_row_to_batch(self):
+        """A (1, nx) constant broadcast to (B, nx): the operand's size-1
+        batch slot feeds the stored last axis — requires the squeeze+append
+        reordering (round-3 review finding: the naive dims mapping produced
+        non-increasing broadcast_dimensions and a TypeError that escaped the
+        fallback probe)."""
+        b_row = _rand(1, 2)
+
+        def f(s, u):
+            return s + u + jnp.broadcast_to(b_row, (s.shape[0], 2))
+
+        _check(f, (_rand(B, 2), _rand(B, 2)), [True, True])
+
     def test_reshape_feature_dims(self):
         def f(s, u):
             x = s.reshape(s.shape[0], 2, 2)

@@ -244,6 +244,23 @@ class TestCrossBackend:
             np.asarray(a_tpu), np.asarray(a_cpu), rtol=5e-3, atol=5e-4
         )
 
+    def test_cpu_placed_controller_with_use_pallas_falls_back(self):
+        """device='cpu' + use_pallas=True on a TPU host: the global backend
+        is 'tpu' but the controller's params live on CPU — the fused kernel
+        must NOT be built (it would compile interpret=False for the CPU
+        backend and crash at the first command; round-3 review finding)."""
+        cpu = jax.devices("cpu")[0]
+        ctrl = MPPI(dyn, cost, 2, jnp.eye(2, dtype=DT), num_samples=2048,
+                    horizon=5, seed=3, device="cpu", use_pallas=True)
+        a = ctrl.command(jnp.zeros(2, DT))
+        assert a.devices() == {cpu}
+        assert ctrl.noise is not None  # XLA path ran (artifacts materialized)
+        b = MPPI_Batched(dyn, cost, 2, jnp.eye(2, dtype=DT), num_envs=2,
+                         num_samples=2048, horizon=5, seed=3, device="cpu",
+                         use_pallas=True)
+        actions = b.command(jnp.zeros((2, 2), DT))
+        assert actions.devices() == {cpu}
+
     def test_cpu_placed_batched_controller_stays_on_cpu(self):
         """A device='cpu' MPPI_Batched on a TPU host must compute on CPU
         (VERDICT round-2 weak #3: params were never device_put, so the solve
