@@ -131,6 +131,7 @@ def main():
     ]
     if dev.platform != "cpu":
         variants.append(("pallas", True, None, config))
+        variants.append(("pallas+antithetic", True, None, config_anti))
     for name, use_pallas, impl, cfg in variants:
         closed_loop = build_closed_loop(use_pallas, cfg)
         ctrl_state = make_state(impl)

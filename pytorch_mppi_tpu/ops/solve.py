@@ -422,10 +422,9 @@ def _x0_to_lanes(x0, K):
     return jnp.broadcast_to(x0[:, None], (x0.shape[-1], K))
 
 
-def make_sharded_transposed_solve(config, dynamics, running_cost, mesh,
-                                  sample_axis: str = "k",
-                                  rng_in_kernel: bool = True):
-    """The transposed fused kernel under ``shard_map``: K sharded over
+def _make_sharded_solve(config, local_builder, mesh, sample_axis: str,
+                        rng_in_kernel: bool = True, nargs_after_x0: int = 7):
+    """A transposed fused kernel under ``shard_map``: K sharded over
     ``sample_axis``, each shard running its own kernel over K_local, with the
     streaming-softmax statistics combined across shards by three small
     collectives riding ICI — exactly the reductions a sharded MPPI solve
@@ -435,21 +434,23 @@ def make_sharded_transposed_solve(config, dynamics, running_cost, mesh,
         delta_g = psum(delta_l · e^{m_l − m_g})
 
     (the flash-softmax merge rule, associative and order-stable under pmax).
-    Per-shard noise streams derive from the same per-solve seed offset by
-    ``axis_index * local_nblocks``, so runs are deterministic for a fixed
-    mesh; the stream differs from the unsharded kernel's (documented — the
-    hardware-PRNG stream is a per-layout property).
+    Works for every single-plant variant kernel because they share the call
+    convention ``(lead, x0T, *replicated_operands) -> (delta, m, s, cost)``:
+    arg 0 is the seed (or a global (rows, K) bits array for CPU-mesh tests,
+    sharded on its lane axis), arg 1 is the lane-sharded x0T, and the
+    remaining ``nargs_after_x0`` operands are replicated.  Per-shard noise
+    streams derive from the same per-solve seed offset by ``axis_index *
+    local_nblocks``, so runs are deterministic for a fixed mesh; the stream
+    differs from the unsharded kernel's (documented — the hardware-PRNG
+    stream is a per-layout property).  cost_total comes back K-sharded.
 
-    Same call signature as :func:`pallas_rollout.make_transposed_fused_solve`
-    (cost_total comes back K-sharded over the mesh).  With
-    ``rng_in_kernel=False`` (CPU-mesh tests) the leading operand is a global
-    (D, K) int32 bits array, sharded on its lane axis.
+    ``local_builder(local_config)`` must return the per-shard solve.
     """
     from jax.sharding import PartitionSpec as P
 
-    shard_map = jax.shard_map
-
     from . import pallas_rollout as PR
+
+    shard_map = jax.shard_map
 
     nshards = mesh.shape[sample_axis]
     if config.K % nshards:
@@ -459,21 +460,17 @@ def make_sharded_transposed_solve(config, dynamics, running_cost, mesh,
         )
     K_local = config.K // nshards
     local_cfg = config.__class__(**{**config.__dict__, "K": K_local})
-    local_solve = PR.make_transposed_fused_solve(
-        local_cfg, dynamics, running_cost, rng_in_kernel=rng_in_kernel
-    )
+    local_solve = local_builder(local_cfg)
     block_k, K_pad_l = PR._transposed_block(K_local, config.T * config.nu)
     local_nblocks = K_pad_l // block_k
 
-    def per_shard(lead, x0T, U2, op, mu_t, lo_t, hi_t, a_flat, lam):
+    def per_shard(lead, x0T, *rest):
         if rng_in_kernel:
             idx = jax.lax.axis_index(sample_axis)
             lead = jnp.stack([
                 lead[0] + idx.astype(lead.dtype) * local_nblocks, lead[1]
             ])
-        delta_l, m_l, s_l, cost_l = local_solve(
-            lead, x0T, U2, op, mu_t, lo_t, hi_t, a_flat, lam
-        )
+        delta_l, m_l, s_l, cost_l = local_solve(lead, x0T, *rest)
         m_g = jax.lax.pmax(m_l, sample_axis)
         corr = jnp.exp(m_l - m_g)
         s_g = jax.lax.psum(s_l * corr, sample_axis)
@@ -483,26 +480,72 @@ def make_sharded_transposed_solve(config, dynamics, running_cost, mesh,
     lead_spec = P() if rng_in_kernel else P(None, sample_axis)
     sharded = shard_map(
         per_shard, mesh=mesh,
-        in_specs=(lead_spec, P(None, sample_axis), P(), P(), P(), P(), P(),
-                  P(), P()),
+        in_specs=(lead_spec, P(None, sample_axis))
+        + (P(),) * nargs_after_x0,
         out_specs=(P(), P(), P(), P(sample_axis)),
         # pallas_call has no varying-manual-axes rule; the collectives above
         # make the replicated outputs genuinely replicated
         check_vma=False,
     )
 
-    def solve(seed_or_bits, x0T, U2, op, mu_t, lo_t, hi_t, a_flat, lambda_):
-        return sharded(
-            seed_or_bits, jnp.asarray(x0T, config.dtype),
-            jnp.asarray(U2, config.dtype), op,
-            jnp.asarray(mu_t, config.dtype),
-            jnp.asarray(lo_t, config.dtype),
-            jnp.asarray(hi_t, config.dtype),
-            jnp.asarray(a_flat, config.dtype),
-            jnp.asarray(lambda_, config.dtype),
+    def solve(seed_or_bits, x0T, *rest):
+        rest = tuple(
+            r if jnp.ndim(r) == 2 else jnp.asarray(r, config.dtype)
+            for r in rest
         )
+        return sharded(seed_or_bits, jnp.asarray(x0T, config.dtype), *rest)
 
     return solve
+
+
+def make_sharded_transposed_solve(config, dynamics, running_cost, mesh,
+                                  sample_axis: str = "k",
+                                  rng_in_kernel: bool = True):
+    """K-sharded MPPI fused solve (see :func:`_make_sharded_solve`); same
+    call signature as :func:`pallas_rollout.make_transposed_fused_solve`."""
+    from . import pallas_rollout as PR
+
+    return _make_sharded_solve(
+        config,
+        lambda cfg: PR.make_transposed_fused_solve(
+            cfg, dynamics, running_cost, rng_in_kernel=rng_in_kernel
+        ),
+        mesh, sample_axis, rng_in_kernel, nargs_after_x0=7,
+    )
+
+
+def make_sharded_smppi_solve(config, dynamics, running_cost, mesh,
+                             sample_axis: str = "k",
+                             rng_in_kernel: bool = True):
+    """K-sharded SMPPI fused solve; same call signature as
+    :func:`pallas_rollout.make_transposed_smppi_solve` (the rate-space delta
+    merges across shards exactly like the plain delta)."""
+    from . import pallas_rollout as PR
+
+    return _make_sharded_solve(
+        config,
+        lambda cfg: PR.make_transposed_smppi_solve(
+            cfg, dynamics, running_cost, rng_in_kernel=rng_in_kernel
+        ),
+        mesh, sample_axis, rng_in_kernel, nargs_after_x0=12,
+    )
+
+
+def make_sharded_kmppi_solve(config, dynamics, running_cost, mesh,
+                             sample_axis: str = "k",
+                             rng_in_kernel: bool = True):
+    """K-sharded KMPPI fused solve; same call signature as
+    :func:`pallas_rollout.make_transposed_kmppi_solve` (the THETA-space delta
+    merges across shards exactly like the plain delta)."""
+    from . import pallas_rollout as PR
+
+    return _make_sharded_solve(
+        config,
+        lambda cfg: PR.make_transposed_kmppi_solve(
+            cfg, dynamics, running_cost, rng_in_kernel=rng_in_kernel
+        ),
+        mesh, sample_axis, rng_in_kernel, nargs_after_x0=11,
+    )
 
 
 def _route_transposed_solve(config, builder, terminal_state_cost,
@@ -883,12 +926,22 @@ def make_smppi_step(
     if use_pallas:
         from . import pallas_rollout as PR
 
-        transposed_solve = _route_transposed_solve(
-            config,
-            lambda: PR.make_transposed_smppi_solve(config, dyn, cost),
-            terminal_state_cost, sample_trajectories, specific_dynamics,
-            mesh, "SMPPI",
-        )
+        if mesh is not None:
+            transposed_solve = _route_transposed_solve(
+                config,
+                lambda: make_sharded_smppi_solve(
+                    config, dyn, cost, mesh, sample_axis
+                ),
+                terminal_state_cost, sample_trajectories, specific_dynamics,
+                mesh, "SMPPI", sharded=True,
+            )
+        else:
+            transposed_solve = _route_transposed_solve(
+                config,
+                lambda: PR.make_transposed_smppi_solve(config, dyn, cost),
+                terminal_state_cost, sample_trajectories, specific_dynamics,
+                mesh, "SMPPI",
+            )
 
     def _solve(params: SMPPIParams, state: SMPPIState, x0, info, shift: bool, dyn_params=None):
         base = params.base
@@ -1061,12 +1114,22 @@ def make_kmppi_step(
     if use_pallas:
         from . import pallas_rollout as PR
 
-        transposed_solve = _route_transposed_solve(
-            config,
-            lambda: PR.make_transposed_kmppi_solve(config, dyn, cost),
-            terminal_state_cost, sample_trajectories, specific_dynamics,
-            mesh, "KMPPI",
-        )
+        if mesh is not None:
+            transposed_solve = _route_transposed_solve(
+                config,
+                lambda: make_sharded_kmppi_solve(
+                    config, dyn, cost, mesh, sample_axis
+                ),
+                terminal_state_cost, sample_trajectories, specific_dynamics,
+                mesh, "KMPPI", sharded=True,
+            )
+        else:
+            transposed_solve = _route_transposed_solve(
+                config,
+                lambda: PR.make_transposed_kmppi_solve(config, dyn, cost),
+                terminal_state_cost, sample_trajectories, specific_dynamics,
+                mesh, "KMPPI",
+            )
 
     def _solve(params: KMPPIParams, state: KMPPIState, x0, info, shift: bool, dyn_params=None):
         base = params.base

@@ -368,6 +368,76 @@ class TestTransposedSolve:
             rtol=1e-4, atol=1e-7,
         )
 
+    def test_sharded_variant_solves_match_unsharded(self):
+        """The generalized shard wrapper also covers the SMPPI and KMPPI
+        kernels: identical injected bits, sharded vs single-device, must
+        agree (rate-/theta-space deltas merge exactly like the plain one)."""
+        import jax
+
+        from pytorch_mppi_tpu.parallel import make_mesh
+
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = make_mesh((8,), ("k",))
+        KS = 1024
+        wdyn_factory = lambda cfg: S.wrap_dynamics(cfg, lin_dyn)
+        wcost_factory = lambda cfg: S.wrap_cost(cfg, quad_cost)
+
+        # --- SMPPI ---
+        cfg = MPPIConfig(nx=NX, nu=NU, K=KS, T=T, dtype=DT, diag_sigma=True)
+        bits = jax.random.randint(
+            jax.random.PRNGKey(3), (D, KS), -(2**31), 2**31 - 1, jnp.int32)
+        U2 = jax.random.normal(jax.random.PRNGKey(5), (D,), DT) * 0.1
+        as2 = jax.random.normal(jax.random.PRNGKey(6), (D,), DT) * 0.2
+        ones = jnp.ones((D,), DT)
+        args = (U2, as2, 0.8 * ones, 0 * ones, -2 * ones, 2 * ones, -ones,
+                ones, U2 * 0.7, jnp.asarray(1.0, DT), jnp.asarray(5.0, DT),
+                jnp.asarray(0.5, DT))
+        x0T = jnp.broadcast_to(jnp.array([-1.0, -1.0], DT)[:, None], (NX, KS))
+        sh = S.make_sharded_smppi_solve(cfg, wdyn_factory(cfg),
+                                        wcost_factory(cfg), mesh, "k",
+                                        rng_in_kernel=False)
+        d_s, m_s, s_s, ct_s = jax.jit(sh)(bits, x0T, *args)
+        un = PR.make_transposed_smppi_solve(cfg, wdyn_factory(cfg),
+                                            wcost_factory(cfg),
+                                            rng_in_kernel=False)
+        d_1, m_1, s_1, ct_1 = jax.jit(un)(bits, x0T, *args)
+        np.testing.assert_allclose(np.asarray(ct_s), np.asarray(ct_1),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(d_s) / float(s_s), np.asarray(d_1) / float(s_1),
+            rtol=1e-4, atol=1e-7)
+
+        # --- KMPPI ---
+        nsp = 4
+        Dp = nsp * NU
+        cfg_k = MPPIConfig(nx=NX, nu=NU, K=KS, T=T, dtype=DT, diag_sigma=True,
+                           num_support_pts=nsp)
+        from pytorch_mppi_tpu.ops.kernels import (RBFKernel,
+                                                  interpolation_operators)
+
+        interp_full, _ = interpolation_operators(RBFKernel(2.0), T, nsp, DT)
+        Wt = jnp.kron(interp_full, jnp.eye(NU, dtype=DT))
+        bits_k = jax.random.randint(
+            jax.random.PRNGKey(7), (Dp, KS), -(2**31), 2**31 - 1, jnp.int32)
+        th2 = jax.random.normal(jax.random.PRNGKey(8), (Dp,), DT) * 0.2
+        onep = jnp.ones((Dp,), DT)
+        argk = (U2, th2, 0.9 * onep, 0 * onep, -onep, onep, -ones, ones,
+                U2 * 0.7, Wt, jnp.asarray(0.9, DT))
+        shk = S.make_sharded_kmppi_solve(cfg_k, wdyn_factory(cfg_k),
+                                         wcost_factory(cfg_k), mesh, "k",
+                                         rng_in_kernel=False)
+        dk_s, mk_s, sk_s, ctk_s = jax.jit(shk)(bits_k, x0T, *argk)
+        unk = PR.make_transposed_kmppi_solve(cfg_k, wdyn_factory(cfg_k),
+                                             wcost_factory(cfg_k),
+                                             rng_in_kernel=False)
+        dk_1, mk_1, sk_1, ctk_1 = jax.jit(unk)(bits_k, x0T, *argk)
+        np.testing.assert_allclose(np.asarray(ctk_s), np.asarray(ctk_1),
+                                   rtol=1e-4, atol=1e-3)
+        np.testing.assert_allclose(
+            np.asarray(dk_s) / float(sk_s), np.asarray(dk_1) / float(sk_1),
+            rtol=1e-3, atol=1e-6)
+
     def test_padded_k(self):
         """K not a multiple of the 128-lane block: phantom rows must carry
         zero weight."""
