@@ -548,6 +548,54 @@ def make_sharded_kmppi_solve(config, dynamics, running_cost, mesh,
     )
 
 
+def make_sharded_batched_solve(config, num_envs, dynamics, running_cost,
+                               mesh, env_axis: str = "data",
+                               rng_in_kernel: bool = True):
+    """The batched (N-plant) fused kernel under ``shard_map`` with plants
+    sharded over ``env_axis`` — the pod-scale scenario layout (SURVEY.md
+    §3.4).  Unlike the K-sharded solve this needs ZERO collectives: each
+    shard's plants run their own per-plant softmax locally, and the
+    reference's shared-noise semantics hold globally for free because every
+    plant's K-blocks reseed from the block index alone (independent of both
+    the plant and the shard).  Same call signature as
+    :func:`pallas_rollout.make_transposed_batched_solve`; the per-plant
+    outputs come back env-sharded."""
+    from jax.sharding import PartitionSpec as P
+
+    from . import pallas_rollout as PR
+
+    nshards = mesh.shape[env_axis]
+    if num_envs % nshards:
+        raise ValueError(
+            f"num_envs={num_envs} must divide evenly over the {nshards}-way "
+            f"{env_axis!r} mesh axis for the sharded batched fused solve"
+        )
+    N_local = num_envs // nshards
+    local_solve = PR.make_transposed_batched_solve(
+        config, N_local, dynamics, running_cost, rng_in_kernel=rng_in_kernel
+    )
+
+    sharded = jax.shard_map(
+        local_solve, mesh=mesh,
+        in_specs=(P(), P(None, env_axis), P(None, env_axis), P(), P(), P(),
+                  P(), P(None, env_axis), P()),
+        out_specs=(P(None, env_axis), P(None, env_axis), P(env_axis)),
+        check_vma=False,
+    )
+
+    def solve(seed_or_bits, x0T, U2T, op, mu_t, lo_t, hi_t, aT, lambda_):
+        dt = config.dtype
+        return sharded(
+            seed_or_bits, jnp.asarray(x0T, dt), jnp.asarray(U2T, dt),
+            op if jnp.ndim(op) == 2 else jnp.asarray(op, dt),
+            jnp.asarray(mu_t, dt), jnp.asarray(lo_t, dt),
+            jnp.asarray(hi_t, dt), jnp.asarray(aT, dt),
+            jnp.asarray(lambda_, dt),
+        )
+
+    return solve
+
+
 def _route_transposed_solve(config, builder, terminal_state_cost,
                             sample_trajectories, specific_dynamics, mesh,
                             variant: str, sharded: bool = False):
@@ -1314,11 +1362,30 @@ def make_batched_step(
     if use_pallas:
         from . import pallas_rollout as PR
 
-        transposed_solve = _route_transposed_solve(
-            config,
-            lambda: PR.make_transposed_batched_solve(config, N, dyn, cost),
-            terminal_state_cost, None, None, mesh, "MPPI_Batched",
-        )
+        if mesh is not None and kax is not None:
+            logger.warning(
+                "use_pallas on MPPI_Batched with BOTH env and sample axes "
+                "sharded is not supported by the fused kernels; using the "
+                "XLA scan path"
+            )
+        elif mesh is not None:
+            # plants sharded over env_axis: per-shard batched kernels, zero
+            # collectives (per-plant softmax is shard-local; shared noise
+            # holds globally via block-indexed seeding)
+            transposed_solve = _route_transposed_solve(
+                config,
+                lambda: make_sharded_batched_solve(
+                    config, N, dyn, cost, mesh, env_axis
+                ),
+                terminal_state_cost, None, None, mesh, "MPPI_Batched",
+                sharded=True,
+            )
+        else:
+            transposed_solve = _route_transposed_solve(
+                config,
+                lambda: PR.make_transposed_batched_solve(config, N, dyn, cost),
+                terminal_state_cost, None, None, mesh, "MPPI_Batched",
+            )
         if transposed_solve is not None and config.K < 2048:
             # measured crossover (docs/DESIGN.md §6): per-plant noise
             # regeneration beats the saved HBM traffic only at larger K

@@ -438,6 +438,46 @@ class TestTransposedSolve:
             np.asarray(dk_s) / float(sk_s), np.asarray(dk_1) / float(sk_1),
             rtol=1e-3, atol=1e-6)
 
+    def test_sharded_batched_solve_matches_unsharded(self):
+        """Env-sharded batched fused solve (plants over 'data', ZERO
+        collectives) vs the single-device batched kernel with identical
+        bits: shared noise must hold across the shard boundary."""
+        import jax
+
+        from pytorch_mppi_tpu.parallel import make_mesh
+
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = make_mesh((8,), ("data",))
+        N = 16  # 2 plants per shard
+        config = MPPIConfig(nx=NX, nu=NU, K=K, T=T, dtype=DT, diag_sigma=True)
+        bits = jax.random.randint(
+            jax.random.PRNGKey(3), (D, K), -(2**31), 2**31 - 1, jnp.int32)
+        U = jax.random.normal(jax.random.PRNGKey(5), (N, T, NU), DT) * 0.1
+        x0 = jax.random.uniform(jax.random.PRNGKey(6), (N, NX), DT, -2.0, 2.0)
+        ones = jnp.ones((D,), DT)
+        lam = jnp.asarray(1.0, DT)
+        a2 = (lam * U / 0.64).reshape(N, D)  # sigma_inv of diag 0.64... scale
+        wdyn = S.wrap_dynamics(config, lin_dyn)
+        wcost = S.wrap_cost(config, quad_cost)
+
+        sh = S.make_sharded_batched_solve(config, N, wdyn, wcost, mesh,
+                                          "data", rng_in_kernel=False)
+        d_s, ms_s, ct_s = jax.jit(sh)(
+            bits, x0.T, U.reshape(N, D).T, 0.8 * ones, 0 * ones, -ones,
+            ones, a2.T, lam)
+
+        un = PR.make_transposed_batched_solve(config, N, wdyn, wcost,
+                                              rng_in_kernel=False)
+        d_1, ms_1, ct_1 = jax.jit(un)(
+            bits, x0.T, U.reshape(N, D).T, 0.8 * ones, 0 * ones, -ones,
+            ones, a2.T, lam)
+        np.testing.assert_allclose(np.asarray(ct_s), np.asarray(ct_1),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(d_s / ms_s[1][None]), np.asarray(d_1 / ms_1[1][None]),
+            rtol=1e-4, atol=1e-6)
+
     def test_padded_k(self):
         """K not a multiple of the 128-lane block: phantom rows must carry
         zero weight."""

@@ -173,6 +173,27 @@ class TestCompiledKernels:
         # the fused path ran: noise artifact not materialized
         assert ctrl.noise is None
 
+    def test_sharded_batched_fused_one_device_mesh(self):
+        """MPPI_Batched with an env mesh + use_pallas: per-shard batched
+        kernels under shard_map, compiled on the 1-device 'data' mesh."""
+        from pytorch_mppi_tpu import MPPI_Batched
+        from pytorch_mppi_tpu.parallel import make_mesh
+
+        mesh = make_mesh((1,), ("data",))
+        ctrl = MPPI_Batched(dyn, cost, 2, jnp.eye(2, dtype=DT), num_envs=4,
+                            num_samples=2048, horizon=8, seed=3, mesh=mesh,
+                            env_axis="data", use_pallas=True,
+                            u_max=jnp.array([1.0, 1.0], DT))
+        states = jnp.asarray([[-3.0, -2.0], [-1.0, 1.0], [3.0, 3.0],
+                              [0.0, -2.0]], DT)
+        d0 = jnp.linalg.norm(states - GOAL, axis=-1)
+        for _ in range(10):
+            actions = ctrl.command(states)
+            states = dyn(states, actions)
+        d1 = jnp.linalg.norm(states - GOAL, axis=-1)
+        assert float(jnp.max(d1)) < float(jnp.max(d0))
+        assert np.isfinite(np.asarray(ctrl.cost_total)).all()
+
     def test_transposed_solve_compiled_pregen_bits(self):
         """The generalized transposed fused solve, compiled on the chip with
         pre-generated bits, against the identical plain-jnp math — Mosaic
