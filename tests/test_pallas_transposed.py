@@ -132,6 +132,55 @@ class TestTransposedSolve:
 
         _run_pair(sd_dyn, sd_cost, step_dependent_dynamics=True)
 
+    def test_odd_shapes_padded(self):
+        """nu=3 (odd sublane blocks, D=21) with K=200 (non-128-multiple,
+        phantom-lane padding) — the shape corners the flagship config never
+        exercises."""
+        nu, t_, k_ = 3, 7, 200
+        d_ = t_ * nu
+        B3 = jnp.asarray(np.random.RandomState(2).randn(2, nu) * 0.5, DT)
+        dyn3 = lambda s, a: s + a @ B3.T
+        config = MPPIConfig(nx=NX, nu=nu, K=k_, T=t_, dtype=DT,
+                            diag_sigma=True, u_scale=1.3)
+        from pytorch_mppi_tpu.ops.pallas_rollout import _transposed_block
+
+        _, k_pad = _transposed_block(k_, d_)
+        bits = jax.random.randint(
+            jax.random.PRNGKey(3), (d_, k_pad), -(2**31), 2**31 - 1, jnp.int32)
+        solve = PR.make_transposed_fused_solve(
+            config, S.wrap_dynamics(config, dyn3),
+            S.wrap_cost(config, quad_cost), rng_in_kernel=False)
+        U2 = jax.random.normal(jax.random.PRNGKey(5), (d_,), DT) * 0.1
+        ones = jnp.ones((d_,), DT)
+        lam = jnp.asarray(0.8, DT)
+        a_flat = U2 * 0.7
+        x0 = jnp.array([-2.0, 1.0], DT)
+        x0T = jnp.broadcast_to(x0[:, None], (NX, k_))
+        delta_k, m_k, s_k, ct_k = jax.jit(solve)(
+            bits, x0T, U2, 0.9 * ones, 0 * ones, -ones, ones, a_flat, lam)
+
+        z = PR._bits_to_normal(bits)[:, :k_]
+        noise2 = z.T * 0.9
+        pert2 = jnp.clip(U2[None] + noise2, -1.0, 1.0)
+        noise2 = pert2 - U2[None]
+        pc = noise2 @ a_flat
+        wdyn = S.wrap_dynamics(config, dyn3)
+        wcost = S.wrap_cost(config, quad_cost)
+        rc, _, _ = S.rollout_costs(config, wdyn, wcost, None, None, None, x0,
+                                   pert2.reshape(k_, t_, nu),
+                                   jax.random.PRNGKey(0))
+        ct_m = rc + pc
+        logits = -ct_m / lam
+        m_m = jnp.max(logits)
+        w = jnp.exp(logits - m_m)
+        s_m = jnp.sum(w)
+        np.testing.assert_allclose(np.asarray(ct_k), np.asarray(ct_m),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(float(s_k), float(s_m), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(delta_k) / float(s_k),
+            np.asarray((w / s_m) @ noise2), rtol=2e-4, atol=2e-6)
+
     def test_unsupported_dynamics_raises(self):
         def bad_dyn(s, a):
             return s - s.mean(axis=0, keepdims=True) + a

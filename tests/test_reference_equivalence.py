@@ -236,19 +236,28 @@ def test_smppi_matches_reference(ref, monkeypatch):
         state_np = state_np + np.asarray(a_j) @ B_NP.T
 
 
-def test_kmppi_matches_reference(ref, monkeypatch):
+@pytest.mark.parametrize("bounded", [False, True], ids=["unbounded", "bounded"])
+def test_kmppi_matches_reference(ref, monkeypatch, bounded):
     nsp = 4
+    kw_t, kw_j = {}, {}
+    if bounded:
+        # the reference clamps BOTH the control points and the interpolated
+        # trajectory (mppi.py:657-670) — pin that double-clamp path too
+        kw_t["u_max"] = torch.tensor([0.6, 0.6], dtype=torch.double)
+        kw_j["u_max"] = jnp.array([0.6, 0.6])
     noise_bank_t = _preset_noise(17)
     torch.manual_seed(SEED)
     ctrl_t = ref.KMPPI(dyn_t, cost_t, NX, torch.eye(NU, dtype=torch.double),
                        num_samples=K, horizon=T, device="cpu",
-                       num_support_pts=nsp, kernel=ref.RBFKernel(sigma=2.0))
+                       num_support_pts=nsp, kernel=ref.RBFKernel(sigma=2.0),
+                       **kw_t)
     _patch_ref(ctrl_t, noise_bank_t)
 
     _patch_ours(monkeypatch, _preset_noise(17))
     ctrl_j = pm.KMPPI(dyn_j, cost_j, NX, jnp.eye(NU, dtype=jnp.float64),
                       num_samples=K, horizon=T, seed=SEED,
-                      num_support_pts=nsp, kernel=pm.RBFKernel(sigma=2.0))
+                      num_support_pts=nsp, kernel=pm.RBFKernel(sigma=2.0),
+                      **kw_j)
 
     U0 = _preset_noise(98)((T, NU))
     ctrl_t.U = torch.tensor(U0, dtype=torch.double)
