@@ -75,6 +75,16 @@ def make_residual_dynamics(
         cols.append(u)
         return jnp.concatenate(cols, axis=1)
 
+    def _wrap_cols(x):
+        # column update via one-hot select, NOT x.at[:, d].set(...): the
+        # scatter that .at lowers to is outside the fused kernels'
+        # batch-axis-last vocabulary (ops/batch_last.py), and this form keeps
+        # learned-dynamics models eligible for use_pallas=True (numerically
+        # identical — an exact elementwise select)
+        wrapped = ((x + math.pi) % (2 * math.pi)) - math.pi
+        mask = jnp.isin(jnp.arange(x.shape[1]), jnp.asarray(angle_wrap_dims))
+        return jnp.where(mask[None, :], wrapped, x)
+
     def dynamics(params, state, action):
         u = action[:, :nu]
         if u_clip is not None:
@@ -83,14 +93,12 @@ def make_residual_dynamics(
         # train(), pendulum_approximate.py:121), so solve-time inputs must be too —
         # an unwrapped theta from a spinning pendulum is out-of-distribution and
         # poisons the whole rollout
-        for d in angle_wrap_dims:
-            wrapped = ((state[:, d] + math.pi) % (2 * math.pi)) - math.pi
-            state = state.at[:, d].set(wrapped)
+        if angle_wrap_dims:
+            state = _wrap_cols(state)
         residual = mlp_apply(params, features(state, u))
         next_state = state + residual
-        for d in angle_wrap_dims:
-            wrapped = ((next_state[:, d] + math.pi) % (2 * math.pi)) - math.pi
-            next_state = next_state.at[:, d].set(wrapped)
+        if angle_wrap_dims:
+            next_state = _wrap_cols(next_state)
         return next_state
 
     return dynamics

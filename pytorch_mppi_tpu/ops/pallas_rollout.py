@@ -576,6 +576,11 @@ def make_transposed_fused_solve(
         )
         return delta.reshape(D), m[0], s[0], cost_pad.reshape(K_pad)[:K]
 
+    # export the kernel's actual grid/padding so wrappers (e.g. the sharded
+    # shard_map composition) never re-derive them
+    solve.nblocks = nblocks
+    solve.K_pad = K_pad
+    solve.block_k = block_k
     return solve
 
 
@@ -720,6 +725,11 @@ def make_transposed_smppi_solve(
         )
         return delta.reshape(D), m[0], s[0], cost_pad.reshape(K_pad)[:K]
 
+    # export the kernel's actual grid/padding so wrappers (e.g. the sharded
+    # shard_map composition) never re-derive them
+    solve.nblocks = nblocks
+    solve.K_pad = K_pad
+    solve.block_k = block_k
     return solve
 
 
@@ -856,6 +866,11 @@ def make_transposed_kmppi_solve(
         )
         return delta.reshape(Dp), m[0], s[0], cost_pad.reshape(K_pad)[:K]
 
+    # export the kernel's actual grid/padding so wrappers (e.g. the sharded
+    # shard_map composition) never re-derive them
+    solve.nblocks = nblocks
+    solve.K_pad = K_pad
+    solve.block_k = block_k
     return solve
 
 
@@ -1027,6 +1042,11 @@ def make_transposed_batched_solve(
         )
         return delta, ms, cost_pad.reshape(N, K_pad)[:, :K]
 
+    # export the kernel's actual grid/padding so wrappers (e.g. the sharded
+    # shard_map composition) never re-derive them
+    solve.nblocks = nblocks
+    solve.K_pad = K_pad
+    solve.block_k = block_k
     return solve
 
 

@@ -422,6 +422,12 @@ def _x0_to_lanes(x0, K):
     return jnp.broadcast_to(x0[:, None], (x0.shape[-1], K))
 
 
+class FusedSolveUnavailable(ValueError):
+    """A fused-kernel configuration constraint failed (e.g. shard
+    divisibility) — routing treats this as 'fall back to the XLA path',
+    unlike arbitrary ValueErrors from tracing user code, which surface."""
+
+
 def _make_sharded_solve(config, local_builder, mesh, sample_axis: str,
                         rng_in_kernel: bool = True, nargs_after_x0: int = 7):
     """A transposed fused kernel under ``shard_map``: K sharded over
@@ -452,17 +458,28 @@ def _make_sharded_solve(config, local_builder, mesh, sample_axis: str,
 
     shard_map = jax.shard_map
 
+    import dataclasses
+
     nshards = mesh.shape[sample_axis]
     if config.K % nshards:
-        raise ValueError(
+        raise FusedSolveUnavailable(
             f"K={config.K} must divide evenly over the {nshards}-way "
             f"{sample_axis!r} mesh axis for the sharded fused solve"
         )
     K_local = config.K // nshards
-    local_cfg = config.__class__(**{**config.__dict__, "K": K_local})
+    local_cfg = dataclasses.replace(config, K=K_local)
     local_solve = local_builder(local_cfg)
-    block_k, K_pad_l = PR._transposed_block(K_local, config.T * config.nu)
-    local_nblocks = K_pad_l // block_k
+    # the per-shard seed offset must use the block count the kernel ACTUALLY
+    # runs (the factory exports it) — re-deriving it here could silently
+    # overlap shard noise streams if a factory's block policy changes
+    local_nblocks = local_solve.nblocks
+    if not rng_in_kernel and local_solve.K_pad != K_local:
+        raise FusedSolveUnavailable(
+            f"bits-injection mode needs per-shard K={K_local} equal to the "
+            f"kernel's padded K={local_solve.K_pad} (the lane-sharded global "
+            f"bits array cannot carry phantom columns); choose K so that "
+            f"K/nshards is a multiple of the kernel block"
+        )
 
     def per_shard(lead, x0T, *rest):
         if rng_in_kernel:
@@ -566,7 +583,7 @@ def make_sharded_batched_solve(config, num_envs, dynamics, running_cost,
 
     nshards = mesh.shape[env_axis]
     if num_envs % nshards:
-        raise ValueError(
+        raise FusedSolveUnavailable(
             f"num_envs={num_envs} must divide evenly over the {nshards}-way "
             f"{env_axis!r} mesh axis for the sharded batched fused solve"
         )
@@ -598,13 +615,16 @@ def make_sharded_batched_solve(config, num_envs, dynamics, running_cost,
 
 def _route_transposed_solve(config, builder, terminal_state_cost,
                             sample_trajectories, specific_dynamics, mesh,
-                            variant: str, sharded: bool = False):
+                            variant: str, sharded: bool = False,
+                            sharded_desc: str = "K-sharded: per-shard "
+                            "kernels + pmax/psum flash-stat collectives"):
     """Shared ``use_pallas`` routing for the transposed fused kernels: checks
     static eligibility + backend, builds the kernel (probing the dynamics'
     batch-last vocabulary), and logs the decision.  Returns the solve or
     None (XLA scan fallback).  With ``sharded``, the builder wraps per-shard
     kernels in shard_map (the mesh itself is then expected, and null-action
-    injection — shard-global row 0 — is additionally ineligible)."""
+    injection — shard-global row 0 — is additionally ineligible);
+    ``sharded_desc`` names the sharding scheme in the success log."""
     from . import batch_last as BL
     from . import pallas_rollout as PR
 
@@ -637,7 +657,9 @@ def _route_transposed_solve(config, builder, terminal_state_cost,
         return None
     try:
         solve = builder()
-    except (BL.UnsupportedPrimitive, ValueError) as e:
+    except (BL.UnsupportedPrimitive, FusedSolveUnavailable) as e:
+        # NOTE: arbitrary ValueErrors from tracing USER dynamics/cost are
+        # deliberately not caught here — those are user bugs and must surface
         logger.warning(
             "use_pallas: fused kernel unavailable for this %s configuration "
             "(%s); using the XLA scan path", variant, e,
@@ -647,8 +669,7 @@ def _route_transposed_solve(config, builder, terminal_state_cost,
         "use_pallas: %s routing to the transposed K-on-lanes fused kernel%s "
         "(docs/DESIGN.md §6); its own hardware-PRNG noise stream; "
         "noise/perturbed artifacts are not materialized", variant,
-        " (K-sharded: per-shard kernels + pmax/psum flash-stat collectives)"
-        if sharded else "",
+        f" ({sharded_desc})" if sharded else "",
     )
     return solve
 
@@ -1379,6 +1400,8 @@ def make_batched_step(
                 ),
                 terminal_state_cost, None, None, mesh, "MPPI_Batched",
                 sharded=True,
+                sharded_desc="env-sharded: per-shard batched kernels, "
+                "no collectives",
             )
         else:
             transposed_solve = _route_transposed_solve(
