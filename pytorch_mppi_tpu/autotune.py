@@ -559,8 +559,28 @@ class PopulationEvaluator:
         })
         return params, axes
 
+    def _planning_fns(self):
+        """The solver bundle the evaluator vmaps.  A ``use_pallas``
+        controller's fused kernel cannot be vmapped over candidates (its
+        SMEM seed operand has no batching rule — verified on-chip), so
+        tuning uses the XLA bundle: the population vmap IS the tuning-time
+        parallelism, and the controller's own command() path keeps the
+        kernel."""
+        mppi = self.mppi
+        if not getattr(mppi, "use_pallas", False):
+            return mppi._fns
+        saved = mppi.use_pallas
+        mppi.use_pallas = False
+        try:
+            mppi._build_step_fns()
+            fns = mppi._fns
+        finally:
+            mppi.use_pallas = saved
+            mppi._build_step_fns()
+        return fns
+
     def _build(self):
-        fns = self.mppi._fns
+        fns = self._planning_fns()
         cost_fn = self._rollout_cost_fn or self._default_cost_fn()
         start, R = self.start, self.R
 
@@ -688,7 +708,7 @@ class PopulationEvaluator:
         )
 
     def __call__(self, param_dicts) -> EvaluationResult:
-        eval_pop = self._eval_cache.get(self.mppi._fns)
+        eval_pop = self._eval_cache.get(self._planning_fns())
         if eval_pop is None:
             eval_pop = self._build()  # first call with this solver bundle
         P = len(param_dicts)

@@ -395,9 +395,11 @@ class MPPI:
         """Memoize solver factories per (frozen, hashable) config so horizon
         toggles reuse previously traced/jitted programs — SURVEY.md §7 hard
         part (a): HorizonParameter tuning flips T back and forth, and a fresh
-        closure per flip would retrace every time."""
+        closure per flip would retrace every time.  ``use_pallas`` joins the
+        key: the population evaluator temporarily flips it to obtain the XLA
+        bundle (vmapping the fused kernel's SMEM seed is unsupported)."""
         cache = self.__dict__.setdefault("_fns_cache", {})
-        key = self.config
+        key = (self.config, self.use_pallas)
         if key not in cache:
             cache[key] = builder()
         return cache[key]

@@ -194,6 +194,32 @@ class TestCompiledKernels:
         assert float(jnp.max(d1)) < float(jnp.max(d0))
         assert np.isfinite(np.asarray(ctrl.cost_total)).all()
 
+    def test_population_evaluator_with_fused_controller(self):
+        """Tuning a use_pallas controller: the population evaluator must vmap
+        the XLA bundle (the fused kernel's SMEM seed has no batching rule —
+        this exact call crashed in Mosaic lowering before the guard), while
+        the controller's own command() keeps the kernel."""
+        from pytorch_mppi_tpu import autotune
+
+        ctrl = MPPI(dyn, cost, 2, jnp.eye(2, dtype=DT), num_samples=2048,
+                    horizon=8, lambda_=1.0, seed=1,
+                    u_max=jnp.array([2.0, 2.0], DT), use_pallas=True)
+        ev = autotune.PopulationEvaluator(
+            ctrl, jnp.array([-3.0, -2.0], DT), num_refinement_steps=2,
+            num_trajectories=1,
+        )
+        res = ev([
+            {"sigma": jnp.array([1.0, 1.0])},
+            {"sigma": jnp.array([4.0, 4.0])},
+            {"lambda": 0.5},
+        ])
+        c = np.asarray(res.costs)
+        assert c.shape == (3,) and np.isfinite(c).all()
+        # the controller's own solve still runs the fused path
+        ctrl.command(jnp.array([-3.0, -2.0], DT))
+        assert ctrl.noise is None
+        assert ctrl.use_pallas is True
+
     def test_transposed_solve_compiled_pregen_bits(self):
         """The generalized transposed fused solve, compiled on the chip with
         pre-generated bits, against the identical plain-jnp math — Mosaic
