@@ -91,6 +91,15 @@ class MPPIConfig:
     # the cost of longer compiles and bigger programs.  Default 1 keeps
     # change_horizon/tuning loops cheap to re-specialize.
     scan_unroll: int = 1
+    # Keep the noise/perturbed-action artifact surface when `use_pallas`
+    # routes to a fused kernel: the kernel additionally stores the clamped
+    # perturbed actions to HBM (one (T·nu, K) f32 tensor, ~2.4 MB at the
+    # flagship shape) and the rectified noise reconstructs outside with the
+    # kernel's own subtraction, bit-exactly.  Off by default — the fused
+    # path's whole point is that these tensors never touch HBM.  Ignored on
+    # the XLA path (which always carries full artifacts); the sharded and
+    # N-plant batched fused kernels don't support it and fall back to XLA.
+    fused_artifacts: bool = False
     dtype: Any = jnp.float32
 
     # SMPPI extras (reference mppi.py:451-570). Only read by the SMPPI factory.

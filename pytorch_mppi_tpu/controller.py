@@ -251,6 +251,7 @@ class MPPI:
         mesh=None,
         sample_axis: str = "k",
         use_pallas: bool = False,
+        fused_artifacts: bool = False,
         prng_impl: Optional[str] = "auto",
     ):
         self.mesh = mesh
@@ -259,6 +260,9 @@ class MPPI:
         self.dynamics_params = dynamics_params
         self.d = _resolve_device(device)
         self.use_pallas = _gate_use_pallas(use_pallas, self.d)
+        # keep the noise/perturbed-action artifact surface on the fused path
+        # (one extra (T*nu, K) HBM store per solve); see MPPIConfig
+        self.fused_artifacts = bool(fused_artifacts)
         # PRNG implementation (see _resolve_prng_impl): "auto" picks the TPU
         # hardware generator ('rbg', ~3-5x faster sampling) on an unsharded
         # TPU placement and partitionable threefry everywhere else; 'rbg'/
@@ -382,6 +386,7 @@ class MPPI:
             noise_rho=self.noise_rho,
             diag_sigma=self._diag_sigma,
             scan_unroll=self.scan_unroll,
+            fused_artifacts=self.fused_artifacts,
             dtype=self.dtype,
         )
 

@@ -437,6 +437,7 @@ def make_transposed_fused_solve(
     running_cost: Callable,  # wrapped: (state, u, t) -> cost
     block_k: int = None,
     rng_in_kernel: bool = True,
+    emit_perturbed: bool = False,
 ):
     """The ENTIRE MPPI iteration as ONE transposed-layout Pallas kernel, for
     arbitrary traceable dynamics/costs.
@@ -470,6 +471,13 @@ def make_transposed_fused_solve(
         ``kron(A_rho, chol)`` applied as ``op @ z``.  With
         ``rng_in_kernel=False`` (CPU interpret tests) ``seed_or_bits`` is
         int32 bits of shape (D, K_pad) — or (D, K_pad//2) under antithetic.
+
+    With ``emit_perturbed`` the kernel additionally writes the clamped
+    perturbed actions (the one tensor the artifact surface needs: rectified
+    noise is exactly ``perturbed - U``, the same subtraction the kernel
+    itself uses) and the solve returns a fifth element ``perturbed (D, K)``.
+    Costs one (D, K) HBM store per solve (~2.4 MB at the flagship shape) —
+    opt-in via ``MPPIConfig.fused_artifacts``.
     """
     from . import batch_last as BL
 
@@ -499,7 +507,11 @@ def make_transposed_fused_solve(
         (lead_ref, x0_ref, U_ref, op_ref, mu_ref, lo_ref, hi_ref, a_ref,
          lam_ref, *rest) = refs
         const_refs = rest[: len(const_specs)]
-        cost_out, delta_ref, m_ref, s_ref, acc_ref = rest[len(const_specs):]
+        if emit_perturbed:
+            (cost_out, delta_ref, m_ref, s_ref, pert_ref, acc_ref) = \
+                rest[len(const_specs):]
+        else:
+            cost_out, delta_ref, m_ref, s_ref, acc_ref = rest[len(const_specs):]
         cvals = [unpack(r) for unpack, r in zip(const_unpack, const_refs)]
         i = pl.program_id(0)
 
@@ -511,6 +523,8 @@ def make_transposed_fused_solve(
             col = jax.lax.broadcasted_iota(jnp.int32, (D, block_k), 1)
             perturbed = jnp.where((col == 0) & (i == 0), 0.0, perturbed)
         perturbed = jnp.clip(perturbed, lo_ref[...], hi_ref[...])
+        if emit_perturbed:
+            pert_ref[...] = perturbed
         noise = perturbed - U_col  # rectified (mppi.py:383-385)
         n_for_cost = jnp.abs(noise) if config.noise_abs_cost else noise
         pert_cost = jnp.sum(n_for_cost * a_ref[...], axis=0, keepdims=True)
@@ -547,13 +561,17 @@ def make_transposed_fused_solve(
             pl.BlockSpec((D, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
+        ) + ((
+            pl.BlockSpec((D, block_k), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ) if emit_perturbed else ()),
         out_shape=(
             jax.ShapeDtypeStruct((1, K_pad), dtype),
             jax.ShapeDtypeStruct((D, 1), dtype),
             jax.ShapeDtypeStruct((1,), dtype),
             jax.ShapeDtypeStruct((1,), dtype),
-        ),
+        ) + ((
+            jax.ShapeDtypeStruct((D, K_pad), dtype),
+        ) if emit_perturbed else ()),
         scratch_shapes=[pltpu.VMEM((D, 1), dtype)],
         interpret=False if rng_in_kernel else _interpret(),
     )
@@ -562,7 +580,7 @@ def make_transposed_fused_solve(
         x0T = jnp.asarray(x0T, dtype)
         if K_pad != K:
             x0T = jnp.pad(x0T, ((0, 0), (0, K_pad - K)))
-        cost_pad, delta, m, s = fused(
+        out = fused(
             seed_or_bits,
             x0T,
             jnp.asarray(U2, dtype).reshape(D, 1),
@@ -574,7 +592,11 @@ def make_transposed_fused_solve(
             jnp.asarray(lambda_, dtype).reshape(1),
             *const_inputs,
         )
-        return delta.reshape(D), m[0], s[0], cost_pad.reshape(K_pad)[:K]
+        cost_pad, delta, m, s = out[:4]
+        base = (delta.reshape(D), m[0], s[0], cost_pad.reshape(K_pad)[:K])
+        if emit_perturbed:
+            return base + (out[4][:, :K],)
+        return base
 
     # export the kernel's actual grid/padding so wrappers (e.g. the sharded
     # shard_map composition) never re-derive them
@@ -590,6 +612,7 @@ def make_transposed_smppi_solve(
     running_cost: Callable,  # wrapped: (state, u, t) -> cost
     block_k: int = None,
     rng_in_kernel: bool = True,
+    emit_perturbed: bool = False,
 ):
     """The SMPPI iteration (reference mppi.py:451-570, arXiv:2112.09988) as
     one transposed K-on-lanes kernel — same design as
@@ -606,6 +629,11 @@ def make_transposed_smppi_solve(
         a_flat, scalars (3,) [lambda, w_action_seq_cost, delta_t]) ->
         (delta (D,), m (), s (), cost_total (K,))`` with ``U_new = U +
         (delta / s).reshape(T, nu)`` (rate space).
+
+    With ``emit_perturbed`` a fifth return ``perturbed_action (D, K)`` holds
+    the post-both-clamps ACTION-space sequences; the rate-space effective
+    noise reconstructs outside as ``(pa - as)/delta_t - U`` — the identical
+    expression the kernel uses (mppi.py:552), so it is bit-exact.
     """
     K, T, nx, nu = config.K, config.T, config.nx, config.nu
     D = T * nu
@@ -633,7 +661,11 @@ def make_transposed_smppi_solve(
         (lead_ref, x0_ref, U_ref, as_ref, op_ref, mu_ref, lo_ref, hi_ref,
          alo_ref, ahi_ref, a_ref, sc_ref, *rest) = refs
         const_refs = rest[: len(const_specs)]
-        cost_out, delta_ref, m_ref, s_ref, acc_ref = rest[len(const_specs):]
+        if emit_perturbed:
+            (cost_out, delta_ref, m_ref, s_ref, pert_ref, acc_ref) = \
+                rest[len(const_specs):]
+        else:
+            cost_out, delta_ref, m_ref, s_ref, acc_ref = rest[len(const_specs):]
         cvals = [unpack(r) for unpack, r in zip(const_unpack, const_refs)]
         i = pl.program_id(0)
         lam, w_seq, delta_t = sc_ref[0], sc_ref[1], sc_ref[2]
@@ -649,6 +681,8 @@ def make_transposed_smppi_solve(
             col = jax.lax.broadcasted_iota(jnp.int32, (D, block_k), 1)
             pert_act = jnp.where((col == 0) & (i == 0), 0.0, pert_act)
         pert_act = jnp.clip(pert_act, alo_ref[...], ahi_ref[...])
+        if emit_perturbed:
+            pert_ref[...] = pert_act
         # effective noise back-computed through both clamps (mppi.py:552)
         noise = (pert_act - as_col) / delta_t - U_col
         n_for_cost = jnp.abs(noise) if config.noise_abs_cost else noise
@@ -695,13 +729,17 @@ def make_transposed_smppi_solve(
             pl.BlockSpec((D, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
+        ) + ((
+            pl.BlockSpec((D, block_k), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ) if emit_perturbed else ()),
         out_shape=(
             jax.ShapeDtypeStruct((1, K_pad), dtype),
             jax.ShapeDtypeStruct((D, 1), dtype),
             jax.ShapeDtypeStruct((1,), dtype),
             jax.ShapeDtypeStruct((1,), dtype),
-        ),
+        ) + ((
+            jax.ShapeDtypeStruct((D, K_pad), dtype),
+        ) if emit_perturbed else ()),
         scratch_shapes=[pltpu.VMEM((D, 1), dtype)],
         interpret=False if rng_in_kernel else _interpret(),
     )
@@ -717,13 +755,17 @@ def make_transposed_smppi_solve(
             jnp.asarray(w_seq, dtype).reshape(()),
             jnp.asarray(delta_t, dtype).reshape(()),
         ])
-        cost_pad, delta, m, s = fused(
+        out = fused(
             seed_or_bits, x0T, col(U2), col(as2),
             op.reshape(D, 1) if op_is_diag else op,
             col(mu_t), col(lo_t), col(hi_t), col(alo_t), col(ahi_t),
             col(a_flat), scalars, *const_inputs,
         )
-        return delta.reshape(D), m[0], s[0], cost_pad.reshape(K_pad)[:K]
+        cost_pad, delta, m, s = out[:4]
+        base = (delta.reshape(D), m[0], s[0], cost_pad.reshape(K_pad)[:K])
+        if emit_perturbed:
+            return base + (out[4][:, :K],)
+        return base
 
     # export the kernel's actual grid/padding so wrappers (e.g. the sharded
     # shard_map composition) never re-derive them
@@ -739,6 +781,7 @@ def make_transposed_kmppi_solve(
     running_cost: Callable,  # wrapped: (state, u, t) -> cost
     block_k: int = None,
     rng_in_kernel: bool = True,
+    emit_perturbed: bool = False,
 ):
     """The KMPPI iteration (reference mppi.py:593-688) as one transposed
     K-on-lanes kernel: noise drawn only at the ``nsp`` support points
@@ -753,6 +796,11 @@ def make_transposed_kmppi_solve(
         Wt (D, Dp), lambda) -> (delta_theta (Dp,), m, s, cost_total (K,))``
         with ``theta_new = theta + (delta_theta / s).reshape(nsp, nu)`` and
         ``U_new = interp_full @ theta_new``.
+
+    With ``emit_perturbed`` a fifth return ``perturbed (D, K)`` holds the
+    post-trajectory-clamp full-horizon actions; the full-horizon noise
+    artifact reconstructs outside as ``perturbed - U`` (the same subtraction
+    the kernel's action cost uses).
     """
     K, T, nx, nu = config.K, config.T, config.nx, config.nu
     nsp = config.num_support_pts
@@ -780,7 +828,11 @@ def make_transposed_kmppi_solve(
         (lead_ref, x0_ref, U_ref, th_ref, op_ref, mu_ref, lop_ref, hip_ref,
          lo_ref, hi_ref, a_ref, W_ref, lam_ref, *rest) = refs
         const_refs = rest[: len(const_specs)]
-        cost_out, delta_ref, m_ref, s_ref, acc_ref = rest[len(const_specs):]
+        if emit_perturbed:
+            (cost_out, delta_ref, m_ref, s_ref, pert_ref, acc_ref) = \
+                rest[len(const_specs):]
+        else:
+            cost_out, delta_ref, m_ref, s_ref, acc_ref = rest[len(const_specs):]
         cvals = [unpack(r) for unpack, r in zip(const_unpack, const_refs)]
         i = pl.program_id(0)
 
@@ -797,6 +849,8 @@ def make_transposed_kmppi_solve(
             col = jax.lax.broadcasted_iota(jnp.int32, (D, block_k), 1)
             perturbed = jnp.where((col == 0) & (i == 0), 0.0, perturbed)
         perturbed = jnp.clip(perturbed, lo_ref[...], hi_ref[...])
+        if emit_perturbed:
+            pert_ref[...] = perturbed
         U_col = U_ref[...]
         noise_full = perturbed - U_col
         n_for_cost = jnp.abs(noise_full) if config.noise_abs_cost else noise_full
@@ -839,13 +893,17 @@ def make_transposed_kmppi_solve(
             pl.BlockSpec((Dp, 1), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-        ),
+        ) + ((
+            pl.BlockSpec((D, block_k), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ) if emit_perturbed else ()),
         out_shape=(
             jax.ShapeDtypeStruct((1, K_pad), dtype),
             jax.ShapeDtypeStruct((Dp, 1), dtype),
             jax.ShapeDtypeStruct((1,), dtype),
             jax.ShapeDtypeStruct((1,), dtype),
-        ),
+        ) + ((
+            jax.ShapeDtypeStruct((D, K_pad), dtype),
+        ) if emit_perturbed else ()),
         scratch_shapes=[pltpu.VMEM((Dp, 1), dtype)],
         interpret=False if rng_in_kernel else _interpret(),
     )
@@ -857,14 +915,18 @@ def make_transposed_kmppi_solve(
             x0T = jnp.pad(x0T, ((0, 0), (0, K_pad - K)))
         colD = lambda v: jnp.asarray(v, dtype).reshape(D, 1)
         colP = lambda v: jnp.asarray(v, dtype).reshape(Dp, 1)
-        cost_pad, delta, m, s = fused(
+        out = fused(
             seed_or_bits, x0T, colD(U2), colP(theta2),
             op.reshape(Dp, 1) if op_is_diag else op,
             colP(mu_p), colP(lop), colP(hip), colD(lo_t), colD(hi_t),
             colD(a_flat), Wt, jnp.asarray(lambda_, dtype).reshape(1),
             *const_inputs,
         )
-        return delta.reshape(Dp), m[0], s[0], cost_pad.reshape(K_pad)[:K]
+        cost_pad, delta, m, s = out[:4]
+        base = (delta.reshape(Dp), m[0], s[0], cost_pad.reshape(K_pad)[:K])
+        if emit_perturbed:
+            return base + (out[4][:, :K],)
+        return base
 
     # export the kernel's actual grid/padding so wrappers (e.g. the sharded
     # shard_map composition) never re-derive them

@@ -640,6 +640,13 @@ def _route_transposed_solve(config, builder, terminal_state_cost,
             "into the sharded fused kernels; using the XLA scan path"
         )
         return None
+    if sharded and config.fused_artifacts:
+        logger.warning(
+            "use_pallas: fused_artifacts is not plumbed into the sharded "
+            "fused kernels; using the XLA scan path (which carries the full "
+            "artifact surface)"
+        )
+        return None
     if not PR.transposed_eligible(
         config,
         has_terminal=terminal_state_cost is not None,
@@ -667,9 +674,11 @@ def _route_transposed_solve(config, builder, terminal_state_cost,
         return None
     logger.info(
         "use_pallas: %s routing to the transposed K-on-lanes fused kernel%s "
-        "(docs/DESIGN.md §6); its own hardware-PRNG noise stream; "
-        "noise/perturbed artifacts are not materialized", variant,
+        "(docs/DESIGN.md §6); its own hardware-PRNG noise stream; %s", variant,
         f" ({sharded_desc})" if sharded else "",
+        "noise/perturbed artifacts materialized (fused_artifacts)"
+        if config.fused_artifacts
+        else "noise/perturbed artifacts are not materialized",
     )
     return solve
 
@@ -775,7 +784,10 @@ def make_mppi_step(
         else:
             transposed_solve = _route_transposed_solve(
                 config,
-                lambda: PR.make_transposed_fused_solve(config, dyn, cost),
+                lambda: PR.make_transposed_fused_solve(
+                    config, dyn, cost,
+                    emit_perturbed=config.fused_artifacts,
+                ),
                 terminal_state_cost, sample_trajectories, specific_dynamics,
                 mesh, "MPPI",
             )
@@ -818,18 +830,26 @@ def make_mppi_step(
         a_flat = (params.lambda_ * (U @ sigma_inv.T)).reshape(D)
         x0T = _x0_to_lanes(x0, K)
         seed = PR.key_to_seed(k_noise)
-        delta, m, s, cost_total = transposed_solve(
+        out = transposed_solve(
             seed, x0T, U.reshape(D), op, mu_t, lo2, hi2, a_flat,
             params.lambda_,
         )
+        delta, m, s, cost_total = out[:4]
         ctnz, omega = PR.weighting_from_stats(cost_total, params.lambda_, m, s)
         U_new = U + (delta / s).reshape(T, nu)
+        noise_art = pert_art = None
+        if config.fused_artifacts:
+            # perturbed comes back (D, K); the rectified noise is the same
+            # subtraction the kernel's update used, so it is bit-exact
+            perturbed2 = out[4].T
+            noise_art = (perturbed2 - U.reshape(D)[None]).reshape(K, T, nu)
+            pert_art = perturbed2.reshape(K, T, nu)
         artifacts = Artifacts(
             cost_total=cost_total,
             cost_total_non_zero=ctnz,
             omega=omega,
-            noise=None,
-            perturbed_action=None,
+            noise=noise_art,
+            perturbed_action=pert_art,
             states=None,
             actions=None,
         )
@@ -1007,7 +1027,10 @@ def make_smppi_step(
         else:
             transposed_solve = _route_transposed_solve(
                 config,
-                lambda: PR.make_transposed_smppi_solve(config, dyn, cost),
+                lambda: PR.make_transposed_smppi_solve(
+                    config, dyn, cost,
+                    emit_perturbed=config.fused_artifacts,
+                ),
                 terminal_state_cost, sample_trajectories, specific_dynamics,
                 mesh, "SMPPI",
             )
@@ -1055,16 +1078,29 @@ def make_smppi_step(
         a_flat = (base.lambda_ * (U @ sigma_inv.T)).reshape(D)
         x0T = _x0_to_lanes(x0, K)
         seed = PR.key_to_seed(k_noise)
-        delta, m, s, cost_total = transposed_solve(
+        out = transposed_solve(
             seed, x0T, U.reshape(D), action_sequence.reshape(D), op, mu_t,
             lo2, hi2, alo2, ahi2, a_flat, base.lambda_,
             params.w_action_seq_cost, params.delta_t,
         )
+        delta, m, s, cost_total = out[:4]
         ctnz, omega = PR.weighting_from_stats(cost_total, base.lambda_, m, s)
         U_new = U + (delta / s).reshape(T, nu)
+        noise_art = pert_art = None
+        if config.fused_artifacts:
+            # action-space perturbed sequences come back (D, K); the
+            # rate-space effective noise is the kernel's own back-computation
+            # through both clamps (mppi.py:552), re-applied here bit-exactly
+            pa2 = out[4].T
+            noise_art = (
+                (pa2 - action_sequence.reshape(D)[None]) / params.delta_t
+                - U.reshape(D)[None]
+            ).reshape(K, T, nu)
+            pert_art = pa2.reshape(K, T, nu)
         artifacts = Artifacts(
             cost_total=cost_total, cost_total_non_zero=ctnz, omega=omega,
-            noise=None, perturbed_action=None, states=None, actions=None,
+            noise=noise_art, perturbed_action=pert_art, states=None,
+            actions=None,
         )
         return U_new, artifacts
 
@@ -1195,7 +1231,10 @@ def make_kmppi_step(
         else:
             transposed_solve = _route_transposed_solve(
                 config,
-                lambda: PR.make_transposed_kmppi_solve(config, dyn, cost),
+                lambda: PR.make_transposed_kmppi_solve(
+                    config, dyn, cost,
+                    emit_perturbed=config.fused_artifacts,
+                ),
                 terminal_state_cost, sample_trajectories, specific_dynamics,
                 mesh, "KMPPI",
             )
@@ -1238,16 +1277,27 @@ def make_kmppi_step(
         Wt = jnp.kron(params.interp_full.astype(dtype), jnp.eye(nu, dtype=dtype))
         x0T = _x0_to_lanes(x0, K)
         seed = PR.key_to_seed(k_noise)
-        delta_th, m, s, cost_total = transposed_solve(
+        out = transposed_solve(
             seed, x0T, U.reshape(D), theta.reshape(Dp), op, mu_p, lop, hip,
             lo2, hi2, a_flat, Wt, base.lambda_,
         )
+        delta_th, m, s, cost_total = out[:4]
         ctnz, omega = PR.weighting_from_stats(cost_total, base.lambda_, m, s)
         theta_new = theta + (delta_th / s).reshape(nsp, nu)
         U_new = params.interp_full @ theta_new
+        noise_art = pert_art = None
+        if config.fused_artifacts:
+            # full-horizon perturbed trajectories come back (D, K); the noise
+            # artifact is full-horizon noise (perturbed - U), matching the
+            # XLA path's field semantics (the theta-space noise stays
+            # in-kernel, exactly like omega @ noise stays in the delta)
+            perturbed2 = out[4].T
+            noise_art = (perturbed2 - U.reshape(D)[None]).reshape(K, T, nu)
+            pert_art = perturbed2.reshape(K, T, nu)
         artifacts = Artifacts(
             cost_total=cost_total, cost_total_non_zero=ctnz, omega=omega,
-            noise=None, perturbed_action=None, states=None, actions=None,
+            noise=noise_art, perturbed_action=pert_art, states=None,
+            actions=None,
         )
         return U_new, theta_new, artifacts
 
@@ -1380,6 +1430,14 @@ def make_batched_step(
     D = T * nu
 
     transposed_solve = None
+    if use_pallas and config.fused_artifacts:
+        logger.warning(
+            "use_pallas on MPPI_Batched with fused_artifacts: the batched "
+            "kernel exists to keep the (N, K, T*nu) tensors out of HBM, so "
+            "materializing them is not supported; using the XLA scan path "
+            "(full artifact surface)"
+        )
+        use_pallas = False
     if use_pallas:
         from . import pallas_rollout as PR
 

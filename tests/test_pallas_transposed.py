@@ -67,7 +67,7 @@ def _mirror(config, dyn, cost, bits, x0, U2, scale_t, mu_t, lo_t, hi_t,
     w = jnp.exp(logits - m)
     s_ = jnp.sum(w)
     delta = (w / s_) @ noise2
-    return ct, m, s_, delta
+    return ct, m, s_, delta, perturbed2
 
 
 def _run_pair(dyn, cost, **cfg_kw):
@@ -94,7 +94,7 @@ def _run_pair(dyn, cost, **cfg_kw):
     delta_k, m_k, s_k, ct_k = jax.jit(solve)(
         bits, x0T, U2, scale_t, mu_t, lo_t, hi_t, a_flat, lam
     )
-    ct_m, m_m, s_m, delta_m = _mirror(
+    ct_m, m_m, s_m, delta_m, pert_m = _mirror(
         config, dyn, cost, bits, x0, U2, scale_t, mu_t, lo_t, hi_t, a_flat,
         lam,
     )
@@ -104,6 +104,23 @@ def _run_pair(dyn, cost, **cfg_kw):
     np.testing.assert_allclose(float(s_k), float(s_m), rtol=1e-5)
     np.testing.assert_allclose(np.asarray(delta_k) / float(s_k),
                                np.asarray(delta_m), rtol=2e-4, atol=2e-6)
+
+    # artifact-emitting build (emit_perturbed): identical solve outputs
+    # (bit-exact — same kernel math, one extra store) plus the clamped
+    # perturbed actions, which match the mirror to elementwise f32 rounding
+    # (the kernel's scale/add association differs by <=1 ulp); the
+    # rectified-noise artifact is perturbed - U by definition
+    solve_a = PR.make_transposed_fused_solve(
+        config, S.wrap_dynamics(config, dyn), S.wrap_cost(config, cost),
+        rng_in_kernel=False, emit_perturbed=True,
+    )
+    delta_a, m_a, s_a, ct_a, pert_k = jax.jit(solve_a)(
+        bits, x0T, U2, scale_t, mu_t, lo_t, hi_t, a_flat, lam
+    )
+    np.testing.assert_array_equal(np.asarray(ct_a), np.asarray(ct_k))
+    np.testing.assert_array_equal(np.asarray(delta_a), np.asarray(delta_k))
+    np.testing.assert_allclose(np.asarray(pert_k.T), np.asarray(pert_m),
+                               rtol=1e-5, atol=1e-7)
 
 
 class TestTransposedSolve:
@@ -250,6 +267,27 @@ class TestTransposedSolve:
         np.testing.assert_allclose(np.asarray(delta_k) / float(s_k),
                                    np.asarray(delta_m), rtol=2e-4, atol=2e-6)
 
+        # artifact-emitting build: post-both-clamps ACTION-space sequences
+        # (pure elementwise math -> bit-exact vs the mirror); the rate-space
+        # noise reconstructs with the kernel's own back-computation
+        solve_a = PR.make_transposed_smppi_solve(
+            config, S.wrap_dynamics(config, lin_dyn),
+            S.wrap_cost(config, quad_cost), rng_in_kernel=False,
+            emit_perturbed=True,
+        )
+        _, _, _, ct_a, pert_k = jax.jit(solve_a)(
+            bits, x0T, U2, as2, scale_t, mu_t, lo_t, hi_t, alo_t, ahi_t,
+            a_flat, lam, w_seq, dt_,
+        )
+        np.testing.assert_array_equal(np.asarray(ct_a), np.asarray(ct_k))
+        np.testing.assert_allclose(np.asarray(pert_k.T),
+                                   np.asarray(pert_act),
+                                   rtol=1e-5, atol=1e-7)
+        noise_rec = (pert_k.T - as2[None]) / dt_ - U2[None]
+        np.testing.assert_allclose(np.asarray(noise_rec),
+                                   np.asarray(noise2),
+                                   rtol=1e-5, atol=1e-6)
+
     def test_kmppi_variant(self):
         """KMPPI transposed kernel vs plain jnp: support-point noise,
         in-kernel interpolation matmul, trajectory clamp, theta-space
@@ -308,6 +346,24 @@ class TestTransposedSolve:
         np.testing.assert_allclose(float(s_k), float(s_m), rtol=1e-5)
         np.testing.assert_allclose(np.asarray(delta_k) / float(s_k),
                                    np.asarray(delta_m), rtol=2e-3, atol=1e-5)
+
+        # artifact-emitting build: post-trajectory-clamp full-horizon actions
+        # (the in-kernel interpolation matmul makes this allclose rather than
+        # bit-exact vs the mirror's pert_pts @ Wt.T); the full-horizon noise
+        # artifact is perturbed - U by definition
+        solve_a = PR.make_transposed_kmppi_solve(
+            config, S.wrap_dynamics(config, lin_dyn),
+            S.wrap_cost(config, quad_cost), rng_in_kernel=False,
+            emit_perturbed=True,
+        )
+        delta_a, _, _, ct_a, pert_k = jax.jit(solve_a)(
+            bits, x0T, U2, th2, scale_p, mu_p, lop, hip, lo_t, hi_t, a_flat,
+            Wt, lam,
+        )
+        np.testing.assert_array_equal(np.asarray(ct_a), np.asarray(ct_k))
+        np.testing.assert_array_equal(np.asarray(delta_a), np.asarray(delta_k))
+        np.testing.assert_allclose(np.asarray(pert_k.T), np.asarray(pert2),
+                                   rtol=2e-5, atol=2e-6)
 
     def test_batched_variant(self):
         """N-plant batched transposed kernel vs the plain-jnp mirror:

@@ -80,6 +80,91 @@ class TestCompiledKernels:
             np.asarray(c2.command(s0)), np.asarray(c3.command(s0))
         )
 
+    def test_fused_artifacts_surface(self):
+        """use_pallas + fused_artifacts=True: the kernel additionally stores
+        the clamped perturbed actions and the controller reconstructs the
+        noise artifact.  Contracts checked on the chip: perturbed within
+        bounds; perturbed - noise collapses to ONE shared nominal sequence;
+        re-rolling the emitted trajectories through the XLA engine reproduces
+        the kernel's own cost_total (proof the tensor is what the kernel
+        actually rolled out, not merely plausible noise); and emitting must
+        not change the solve itself."""
+        K_, T_ = 512, 8
+        kw = dict(num_samples=K_, horizon=T_, lambda_=1.0, seed=3,
+                  u_max=jnp.array([1.0, 1.0], DT))
+        c = MPPI(dyn, cost, 2, jnp.eye(2, dtype=DT), use_pallas=True,
+                 fused_artifacts=True, **kw)
+        state = jnp.array([-3.0, -2.0], DT)
+        a = c.command(state)
+        assert c.noise is not None and c.perturbed_action is not None
+        assert c.perturbed_action.shape == (K_, T_, 2)
+        assert c.noise.shape == (K_, T_, 2)
+        pa = np.asarray(c.perturbed_action)
+        assert (np.abs(pa) <= 1.0 + 1e-6).all()
+        # perturbed - noise is the nominal the solve perturbed — shared
+        # across all K samples (fl(p - fl(p - U)) != U exactly, so this is
+        # allclose, not bit-equal)
+        U_sol = np.asarray(c.perturbed_action - c.noise)
+        np.testing.assert_allclose(
+            U_sol, np.broadcast_to(U_sol[:1], U_sol.shape),
+            rtol=1e-5, atol=1e-6)
+        # re-roll the emitted trajectories through the XLA path: running cost
+        # + action cost must reproduce the kernel's cost_total
+        rc, _, _ = S.rollout_costs(c.config, S.wrap_dynamics(c.config, dyn),
+                                   S.wrap_cost(c.config, cost), None, None,
+                                   None, state, c.perturbed_action,
+                                   jax.random.PRNGKey(0))
+        # lambda=1, sigma=I: action cost is <noise, U> per sample
+        pc = jnp.einsum("ktu,tu->k", jnp.asarray(c.noise),
+                        jnp.asarray(U_sol[0]))
+        np.testing.assert_allclose(np.asarray(rc + pc),
+                                   np.asarray(c.cost_total),
+                                   rtol=2e-4, atol=2e-3)
+        # the extra HBM store must not perturb the solve: same seed without
+        # artifacts gives the same command
+        c2 = MPPI(dyn, cost, 2, jnp.eye(2, dtype=DT), use_pallas=True, **kw)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c2.command(state)),
+                                   rtol=1e-5, atol=1e-6)
+        assert c2.noise is None
+
+    def test_fused_artifacts_smppi_kmppi(self):
+        """The variant kernels' emit_perturbed Mosaic lowering: SMPPI emits
+        post-both-clamps ACTION-space sequences (within action bounds, with
+        the rate-space noise back-computed); KMPPI emits post-trajectory-clamp
+        full-horizon actions."""
+        from pytorch_mppi_tpu import KMPPI, RBFKernel, SMPPI
+
+        kw = dict(num_samples=256, horizon=8, lambda_=1.0, seed=3,
+                  u_max=jnp.array([0.5, 0.5], DT))
+        sm = SMPPI(dyn, cost, 2, jnp.eye(2, dtype=DT), use_pallas=True,
+                   fused_artifacts=True, delta_t=0.8,
+                   action_max=jnp.array([1.0, 1.0], DT), **kw)
+        state = jnp.array([-3.0, -2.0], DT)
+        sm.command(state)
+        assert sm.perturbed_action is not None and sm.noise is not None
+        assert (np.abs(np.asarray(sm.perturbed_action)) <= 1.0 + 1e-6).all()
+        # rate-space noise back-computation: perturbed = action_sequence +
+        # delta_t*(U + noise) before clamps; after clamps the identity holds
+        # exactly by reconstruction
+        rec = (np.asarray(sm.perturbed_action)
+               - 0.8 * np.asarray(sm.noise)).reshape(256, -1)
+        # the /delta_t then *delta_t round-trip is not exact in f32, so the
+        # shared (action_sequence + delta_t*U) only agrees to rounding
+        np.testing.assert_allclose(rec, np.broadcast_to(rec[:1], rec.shape),
+                                   rtol=1e-5, atol=1e-5)
+
+        km = KMPPI(dyn, cost, 2, jnp.eye(2, dtype=DT), use_pallas=True,
+                   fused_artifacts=True, num_support_pts=4,
+                   kernel=RBFKernel(sigma=2.0), **kw)
+        km.command(state)
+        assert km.perturbed_action is not None and km.noise is not None
+        assert km.perturbed_action.shape == (256, 8, 2)
+        assert (np.abs(np.asarray(km.perturbed_action)) <= 0.5 + 1e-6).all()
+        U_sol = np.asarray(km.perturbed_action - km.noise)
+        np.testing.assert_allclose(
+            U_sol, np.broadcast_to(U_sol[:1], U_sol.shape),
+            rtol=1e-5, atol=1e-6)
+
     def test_transposed_smppi_closed_loop(self):
         """SMPPI with use_pallas=True (transposed rate-space kernel, in-kernel
         PRNG): closed loop converges, artifacts contracts hold, and the
