@@ -97,8 +97,10 @@ class MPPIConfig:
     # flagship shape) and the rectified noise reconstructs outside with the
     # kernel's own subtraction, bit-exactly.  Off by default — the fused
     # path's whole point is that these tensors never touch HBM.  Ignored on
-    # the XLA path (which always carries full artifacts); the sharded and
-    # N-plant batched fused kernels don't support it and fall back to XLA.
+    # the XLA path (which always carries full artifacts).  The K-sharded
+    # fused path emits per-shard and concatenates to the global (K, T, nu);
+    # the N-plant batched fused kernel (whose point is keeping the
+    # (N, K, T*nu) tensors out of HBM) declines and falls back to XLA.
     fused_artifacts: bool = False
     dtype: Any = jnp.float32
 

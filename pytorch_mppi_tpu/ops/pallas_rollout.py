@@ -431,6 +431,22 @@ def _tp_flash_tail(i, nblocks, total, lam, upd_vec, cost_out, delta_ref,
         delta_ref[...] = acc_ref[...]
 
 
+def _tp_gate_operand(gate, null_gate):
+    """Validate + convert the trailing null-gate argument of a transposed
+    solve.  Loud on arity mismatch: a gate passed to a kernel built WITHOUT
+    ``null_dynamic_gate=True`` would otherwise be silently swallowed by the
+    ``*gate`` varargs and every shard would statically inject its own local
+    null sample (one per shard instead of one global)."""
+    if len(gate) != (1 if null_gate else 0):
+        raise TypeError(
+            f"this fused solve was built with null_dynamic_gate="
+            f"{bool(null_gate)} but called with {len(gate)} trailing gate "
+            f"argument(s); build the kernel with null_dynamic_gate=True to "
+            f"accept the sharded null gate"
+        )
+    return (jnp.asarray(gate[0], jnp.int32).reshape(1),) if null_gate else ()
+
+
 def make_transposed_fused_solve(
     config: MPPIConfig,
     dynamics: Callable,  # wrapped: (dyn_params, state, u, t, key) -> next_state
@@ -438,6 +454,7 @@ def make_transposed_fused_solve(
     block_k: int = None,
     rng_in_kernel: bool = True,
     emit_perturbed: bool = False,
+    null_dynamic_gate: bool = False,
 ):
     """The ENTIRE MPPI iteration as ONE transposed-layout Pallas kernel, for
     arbitrary traceable dynamics/costs.
@@ -478,6 +495,12 @@ def make_transposed_fused_solve(
     itself uses) and the solve returns a fifth element ``perturbed (D, K)``.
     Costs one (D, K) HBM store per solve (~2.4 MB at the flagship shape) —
     opt-in via ``MPPIConfig.fused_artifacts``.
+
+    With ``null_dynamic_gate`` (only meaningful when
+    ``config.sample_null_action``) the null-action injection is controlled by
+    a trailing (1,) int32 SMEM operand instead of being unconditionally
+    applied to block 0: the K-sharded wrapper passes ``axis_index == 0`` so
+    exactly ONE shard zeroes its first sample globally.
     """
     from . import batch_last as BL
 
@@ -496,6 +519,7 @@ def make_transposed_fused_solve(
     antithetic = config.antithetic
     diag_fast = config.diag_sigma and not config.noise_rho
     null_action = config.sample_null_action
+    null_gate = null_action and null_dynamic_gate
     u_scale = float(config.u_scale)
     bh = block_k // 2 if antithetic else block_k
 
@@ -506,6 +530,8 @@ def make_transposed_fused_solve(
     def kernel(*refs):
         (lead_ref, x0_ref, U_ref, op_ref, mu_ref, lo_ref, hi_ref, a_ref,
          lam_ref, *rest) = refs
+        if null_gate:
+            gate_ref, *rest = rest
         const_refs = rest[: len(const_specs)]
         if emit_perturbed:
             (cost_out, delta_ref, m_ref, s_ref, pert_ref, acc_ref) = \
@@ -521,7 +547,10 @@ def make_transposed_fused_solve(
         perturbed = U_col + noise
         if null_action:
             col = jax.lax.broadcasted_iota(jnp.int32, (D, block_k), 1)
-            perturbed = jnp.where((col == 0) & (i == 0), 0.0, perturbed)
+            is_null = (col == 0) & (i == 0)
+            if null_gate:
+                is_null = is_null & (gate_ref[0] != 0)
+            perturbed = jnp.where(is_null, 0.0, perturbed)
         perturbed = jnp.clip(perturbed, lo_ref[...], hi_ref[...])
         if emit_perturbed:
             pert_ref[...] = perturbed
@@ -554,6 +583,7 @@ def make_transposed_fused_solve(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # hi (D, 1)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # a_flat (D, 1)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # lambda (1,)
+            *((pl.BlockSpec(memory_space=pltpu.SMEM),) if null_gate else ()),
             *const_specs,
         ],
         out_specs=(
@@ -576,10 +606,12 @@ def make_transposed_fused_solve(
         interpret=False if rng_in_kernel else _interpret(),
     )
 
-    def solve(seed_or_bits, x0T, U2, op, mu_t, lo_t, hi_t, a_flat, lambda_):
+    def solve(seed_or_bits, x0T, U2, op, mu_t, lo_t, hi_t, a_flat, lambda_,
+              *gate):
         x0T = jnp.asarray(x0T, dtype)
         if K_pad != K:
             x0T = jnp.pad(x0T, ((0, 0), (0, K_pad - K)))
+        gate_in = _tp_gate_operand(gate, null_gate)
         out = fused(
             seed_or_bits,
             x0T,
@@ -590,6 +622,7 @@ def make_transposed_fused_solve(
             jnp.asarray(hi_t, dtype).reshape(D, 1),
             jnp.asarray(a_flat, dtype).reshape(D, 1),
             jnp.asarray(lambda_, dtype).reshape(1),
+            *gate_in,
             *const_inputs,
         )
         cost_pad, delta, m, s = out[:4]
@@ -613,6 +646,7 @@ def make_transposed_smppi_solve(
     block_k: int = None,
     rng_in_kernel: bool = True,
     emit_perturbed: bool = False,
+    null_dynamic_gate: bool = False,
 ):
     """The SMPPI iteration (reference mppi.py:451-570, arXiv:2112.09988) as
     one transposed K-on-lanes kernel — same design as
@@ -650,6 +684,7 @@ def make_transposed_smppi_solve(
     antithetic = config.antithetic
     diag_fast = config.diag_sigma and not config.noise_rho
     null_action = config.sample_null_action
+    null_gate = null_action and null_dynamic_gate
     u_scale = float(config.u_scale)
     bh = block_k // 2 if antithetic else block_k
 
@@ -660,6 +695,8 @@ def make_transposed_smppi_solve(
     def kernel(*refs):
         (lead_ref, x0_ref, U_ref, as_ref, op_ref, mu_ref, lo_ref, hi_ref,
          alo_ref, ahi_ref, a_ref, sc_ref, *rest) = refs
+        if null_gate:
+            gate_ref, *rest = rest
         const_refs = rest[: len(const_specs)]
         if emit_perturbed:
             (cost_out, delta_ref, m_ref, s_ref, pert_ref, acc_ref) = \
@@ -679,7 +716,10 @@ def make_transposed_smppi_solve(
         pert_act = as_col + pert_rate * delta_t
         if null_action:
             col = jax.lax.broadcasted_iota(jnp.int32, (D, block_k), 1)
-            pert_act = jnp.where((col == 0) & (i == 0), 0.0, pert_act)
+            is_null = (col == 0) & (i == 0)
+            if null_gate:
+                is_null = is_null & (gate_ref[0] != 0)
+            pert_act = jnp.where(is_null, 0.0, pert_act)
         pert_act = jnp.clip(pert_act, alo_ref[...], ahi_ref[...])
         if emit_perturbed:
             pert_ref[...] = pert_act
@@ -722,6 +762,7 @@ def make_transposed_smppi_solve(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # hi action (D, 1)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # a_flat (D, 1)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # [lam, w, delta_t] (3,)
+            *((pl.BlockSpec(memory_space=pltpu.SMEM),) if null_gate else ()),
             *const_specs,
         ],
         out_specs=(
@@ -745,7 +786,7 @@ def make_transposed_smppi_solve(
     )
 
     def solve(seed_or_bits, x0T, U2, as2, op, mu_t, lo_t, hi_t, alo_t, ahi_t,
-              a_flat, lambda_, w_seq, delta_t):
+              a_flat, lambda_, w_seq, delta_t, *gate):
         x0T = jnp.asarray(x0T, dtype)
         if K_pad != K:
             x0T = jnp.pad(x0T, ((0, 0), (0, K_pad - K)))
@@ -755,11 +796,12 @@ def make_transposed_smppi_solve(
             jnp.asarray(w_seq, dtype).reshape(()),
             jnp.asarray(delta_t, dtype).reshape(()),
         ])
+        gate_in = _tp_gate_operand(gate, null_gate)
         out = fused(
             seed_or_bits, x0T, col(U2), col(as2),
             op.reshape(D, 1) if op_is_diag else op,
             col(mu_t), col(lo_t), col(hi_t), col(alo_t), col(ahi_t),
-            col(a_flat), scalars, *const_inputs,
+            col(a_flat), scalars, *gate_in, *const_inputs,
         )
         cost_pad, delta, m, s = out[:4]
         base = (delta.reshape(D), m[0], s[0], cost_pad.reshape(K_pad)[:K])
@@ -782,6 +824,7 @@ def make_transposed_kmppi_solve(
     block_k: int = None,
     rng_in_kernel: bool = True,
     emit_perturbed: bool = False,
+    null_dynamic_gate: bool = False,
 ):
     """The KMPPI iteration (reference mppi.py:593-688) as one transposed
     K-on-lanes kernel: noise drawn only at the ``nsp`` support points
@@ -818,6 +861,7 @@ def make_transposed_kmppi_solve(
     antithetic = config.antithetic
     diag_fast = config.diag_sigma and not config.noise_rho
     null_action = config.sample_null_action
+    null_gate = null_action and null_dynamic_gate
     bh = block_k // 2 if antithetic else block_k
 
     closed, consts = _trace_body_transposed(config, dynamics, running_cost,
@@ -827,6 +871,8 @@ def make_transposed_kmppi_solve(
     def kernel(*refs):
         (lead_ref, x0_ref, U_ref, th_ref, op_ref, mu_ref, lop_ref, hip_ref,
          lo_ref, hi_ref, a_ref, W_ref, lam_ref, *rest) = refs
+        if null_gate:
+            gate_ref, *rest = rest
         const_refs = rest[: len(const_specs)]
         if emit_perturbed:
             (cost_out, delta_ref, m_ref, s_ref, pert_ref, acc_ref) = \
@@ -847,7 +893,10 @@ def make_transposed_kmppi_solve(
                             preferred_element_type=dtype)
         if null_action:
             col = jax.lax.broadcasted_iota(jnp.int32, (D, block_k), 1)
-            perturbed = jnp.where((col == 0) & (i == 0), 0.0, perturbed)
+            is_null = (col == 0) & (i == 0)
+            if null_gate:
+                is_null = is_null & (gate_ref[0] != 0)
+            perturbed = jnp.where(is_null, 0.0, perturbed)
         perturbed = jnp.clip(perturbed, lo_ref[...], hi_ref[...])
         if emit_perturbed:
             pert_ref[...] = perturbed
@@ -886,6 +935,7 @@ def make_transposed_kmppi_solve(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # a_flat (D, 1)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # Wt = kron(interp, I) (D, Dp)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # lambda (1,)
+            *((pl.BlockSpec(memory_space=pltpu.SMEM),) if null_gate else ()),
             *const_specs,
         ],
         out_specs=(
@@ -909,17 +959,19 @@ def make_transposed_kmppi_solve(
     )
 
     def solve(seed_or_bits, x0T, U2, theta2, op, mu_p, lop, hip, lo_t, hi_t,
-              a_flat, Wt, lambda_):
+              a_flat, Wt, lambda_, *gate):
         x0T = jnp.asarray(x0T, dtype)
         if K_pad != K:
             x0T = jnp.pad(x0T, ((0, 0), (0, K_pad - K)))
         colD = lambda v: jnp.asarray(v, dtype).reshape(D, 1)
         colP = lambda v: jnp.asarray(v, dtype).reshape(Dp, 1)
+        gate_in = _tp_gate_operand(gate, null_gate)
         out = fused(
             seed_or_bits, x0T, colD(U2), colP(theta2),
             op.reshape(Dp, 1) if op_is_diag else op,
             colP(mu_p), colP(lop), colP(hip), colD(lo_t), colD(hi_t),
             colD(a_flat), Wt, jnp.asarray(lambda_, dtype).reshape(1),
+            *gate_in,
             *const_inputs,
         )
         cost_pad, delta, m, s = out[:4]

@@ -429,7 +429,8 @@ class FusedSolveUnavailable(ValueError):
 
 
 def _make_sharded_solve(config, local_builder, mesh, sample_axis: str,
-                        rng_in_kernel: bool = True, nargs_after_x0: int = 7):
+                        rng_in_kernel: bool = True, nargs_after_x0: int = 7,
+                        emit: bool = False):
     """A transposed fused kernel under ``shard_map``: K sharded over
     ``sample_axis``, each shard running its own kernel over K_local, with the
     streaming-softmax statistics combined across shards by three small
@@ -451,6 +452,13 @@ def _make_sharded_solve(config, local_builder, mesh, sample_axis: str,
     stream is a per-layout property).  cost_total comes back K-sharded.
 
     ``local_builder(local_config)`` must return the per-shard solve.
+
+    ``sample_null_action`` is handled by the per-shard kernels' dynamic null
+    gate (``axis_index == 0`` — exactly one shard zeroes its first sample,
+    which IS global sample 0 since x0T/cost shard contiguously along K).
+    With ``emit`` the per-shard kernels emit their clamped perturbed actions
+    and the solve returns a fifth element: the K-sharded global (D, K)
+    perturbed tensor (``fused_artifacts``).
     """
     from jax.sharding import PartitionSpec as P
 
@@ -481,25 +489,36 @@ def _make_sharded_solve(config, local_builder, mesh, sample_axis: str,
             f"K/nshards is a multiple of the kernel block"
         )
 
+    null_gated = config.sample_null_action
+
     def per_shard(lead, x0T, *rest):
         if rng_in_kernel:
             idx = jax.lax.axis_index(sample_axis)
             lead = jnp.stack([
                 lead[0] + idx.astype(lead.dtype) * local_nblocks, lead[1]
             ])
-        delta_l, m_l, s_l, cost_l = local_solve(lead, x0T, *rest)
+        if null_gated:
+            # only the shard holding global sample 0 injects the null action
+            g = (jax.lax.axis_index(sample_axis) == 0).astype(jnp.int32)
+            rest = rest + (g.reshape(1),)
+        out = local_solve(lead, x0T, *rest)
+        delta_l, m_l, s_l, cost_l = out[:4]
         m_g = jax.lax.pmax(m_l, sample_axis)
         corr = jnp.exp(m_l - m_g)
         s_g = jax.lax.psum(s_l * corr, sample_axis)
         delta_g = jax.lax.psum(delta_l * corr, sample_axis)
-        return delta_g, m_g, s_g, cost_l
+        res = (delta_g, m_g, s_g, cost_l)
+        if emit:
+            res = res + (out[4],)
+        return res
 
     lead_spec = P() if rng_in_kernel else P(None, sample_axis)
     sharded = shard_map(
         per_shard, mesh=mesh,
         in_specs=(lead_spec, P(None, sample_axis))
         + (P(),) * nargs_after_x0,
-        out_specs=(P(), P(), P(), P(sample_axis)),
+        out_specs=(P(), P(), P(), P(sample_axis))
+        + ((P(None, sample_axis),) if emit else ()),
         # pallas_call has no varying-manual-axes rule; the collectives above
         # make the replicated outputs genuinely replicated
         check_vma=False,
@@ -525,9 +544,11 @@ def make_sharded_transposed_solve(config, dynamics, running_cost, mesh,
     return _make_sharded_solve(
         config,
         lambda cfg: PR.make_transposed_fused_solve(
-            cfg, dynamics, running_cost, rng_in_kernel=rng_in_kernel
+            cfg, dynamics, running_cost, rng_in_kernel=rng_in_kernel,
+            emit_perturbed=config.fused_artifacts, null_dynamic_gate=True,
         ),
         mesh, sample_axis, rng_in_kernel, nargs_after_x0=7,
+        emit=config.fused_artifacts,
     )
 
 
@@ -542,9 +563,11 @@ def make_sharded_smppi_solve(config, dynamics, running_cost, mesh,
     return _make_sharded_solve(
         config,
         lambda cfg: PR.make_transposed_smppi_solve(
-            cfg, dynamics, running_cost, rng_in_kernel=rng_in_kernel
+            cfg, dynamics, running_cost, rng_in_kernel=rng_in_kernel,
+            emit_perturbed=config.fused_artifacts, null_dynamic_gate=True,
         ),
         mesh, sample_axis, rng_in_kernel, nargs_after_x0=12,
+        emit=config.fused_artifacts,
     )
 
 
@@ -559,9 +582,11 @@ def make_sharded_kmppi_solve(config, dynamics, running_cost, mesh,
     return _make_sharded_solve(
         config,
         lambda cfg: PR.make_transposed_kmppi_solve(
-            cfg, dynamics, running_cost, rng_in_kernel=rng_in_kernel
+            cfg, dynamics, running_cost, rng_in_kernel=rng_in_kernel,
+            emit_perturbed=config.fused_artifacts, null_dynamic_gate=True,
         ),
         mesh, sample_axis, rng_in_kernel, nargs_after_x0=11,
+        emit=config.fused_artifacts,
     )
 
 
@@ -622,8 +647,9 @@ def _route_transposed_solve(config, builder, terminal_state_cost,
     static eligibility + backend, builds the kernel (probing the dynamics'
     batch-last vocabulary), and logs the decision.  Returns the solve or
     None (XLA scan fallback).  With ``sharded``, the builder wraps per-shard
-    kernels in shard_map (the mesh itself is then expected, and null-action
-    injection — shard-global row 0 — is additionally ineligible);
+    kernels in shard_map (the mesh itself is then expected; null-action
+    injection and fused_artifacts are handled by the per-shard kernels'
+    dynamic null gate and K-sharded emit);
     ``sharded_desc`` names the sharding scheme in the success log."""
     from . import batch_last as BL
     from . import pallas_rollout as PR
@@ -632,19 +658,6 @@ def _route_transposed_solve(config, builder, terminal_state_cost,
         logger.warning(
             "use_pallas: the fused kernel needs the TPU hardware PRNG; using "
             "the XLA scan path on backend %r", jax.default_backend(),
-        )
-        return None
-    if sharded and config.sample_null_action:
-        logger.warning(
-            "use_pallas: sample_null_action is shard-global and not plumbed "
-            "into the sharded fused kernels; using the XLA scan path"
-        )
-        return None
-    if sharded and config.fused_artifacts:
-        logger.warning(
-            "use_pallas: fused_artifacts is not plumbed into the sharded "
-            "fused kernels; using the XLA scan path (which carries the full "
-            "artifact surface)"
         )
         return None
     if not PR.transposed_eligible(
@@ -1430,6 +1443,15 @@ def make_batched_step(
     D = T * nu
 
     transposed_solve = None
+    if config.sample_null_action:
+        # parity with the reference: MPPI_Batched has no null-action/sampler
+        # hooks (mppi.py:691-873); neither the XLA nor the fused batched path
+        # injects it, so a hand-built config setting it would be silently
+        # ignored without this.
+        logger.warning(
+            "MPPI_Batched does not support sample_null_action (matching the "
+            "reference); the flag is ignored"
+        )
     if use_pallas and config.fused_artifacts:
         logger.warning(
             "use_pallas on MPPI_Batched with fused_artifacts: the batched "

@@ -543,6 +543,86 @@ class TestTransposedSolve:
             np.asarray(dk_s) / float(sk_s), np.asarray(dk_1) / float(sk_1),
             rtol=1e-3, atol=1e-6)
 
+    def test_gate_arity_is_loud(self):
+        """A gate argument passed to a kernel built WITHOUT
+        null_dynamic_gate=True must raise, not be silently swallowed by the
+        ``*gate`` varargs (which would statically inject one null sample per
+        shard instead of one global)."""
+        config = MPPIConfig(nx=NX, nu=NU, K=K, T=T, dtype=DT,
+                            diag_sigma=True, sample_null_action=True)
+        bits = jnp.zeros((D, K), jnp.int32)
+        wdyn = S.wrap_dynamics(config, lin_dyn)
+        wcost = S.wrap_cost(config, quad_cost)
+        ungated = PR.make_transposed_fused_solve(
+            config, wdyn, wcost, rng_in_kernel=False)
+        zero = jnp.zeros((D,), DT)
+        one = jnp.ones((D,), DT)
+        x0T = jnp.zeros((NX, K), DT)
+        args = (bits, x0T, zero, one, zero, -one, one, zero,
+                jnp.asarray(1.0, DT))
+        with pytest.raises(TypeError, match="null_dynamic_gate"):
+            ungated(*args, jnp.ones((1,), jnp.int32))
+        gated = PR.make_transposed_fused_solve(
+            config, wdyn, wcost, rng_in_kernel=False, null_dynamic_gate=True)
+        with pytest.raises(TypeError, match="null_dynamic_gate"):
+            gated(*args)
+
+    def test_sharded_null_action_and_artifacts(self):
+        """sample_null_action + fused_artifacts on the K-sharded fused solve:
+        the per-shard kernels' dynamic null gate must zero exactly global
+        sample 0 (only shard 0 fires), matching the single-device kernel's
+        static injection; the emitted perturbed tensor concatenates across
+        shards into the global (D, K)."""
+        import jax
+
+        from pytorch_mppi_tpu.parallel import make_mesh
+
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = make_mesh((8,), ("k",))
+        KS = 1024
+        config = MPPIConfig(nx=NX, nu=NU, K=KS, T=T, dtype=DT,
+                            diag_sigma=True, sample_null_action=True,
+                            fused_artifacts=True)
+        bits = jax.random.randint(
+            jax.random.PRNGKey(3), (D, KS), -(2**31), 2**31 - 1, jnp.int32)
+        U2 = jax.random.normal(jax.random.PRNGKey(5), (D,), DT) * 0.1
+        scale_t = jnp.full((D,), 0.8, DT)
+        zero = jnp.zeros((D,), DT)
+        lo_t = jnp.full((D,), -1.0, DT)
+        hi_t = jnp.full((D,), 1.0, DT)
+        a_flat = U2 * 0.7
+        lam = jnp.asarray(1.0, DT)
+        x0T = jnp.broadcast_to(jnp.array([-3.0, -2.0], DT)[:, None], (NX, KS))
+
+        wdyn = S.wrap_dynamics(config, lin_dyn)
+        wcost = S.wrap_cost(config, quad_cost)
+        sharded = S.make_sharded_transposed_solve(
+            config, wdyn, wcost, mesh, "k", rng_in_kernel=False)
+        d_s, m_s, s_s, ct_s, pert_s = jax.jit(sharded)(
+            bits, x0T, U2, scale_t, zero, lo_t, hi_t, a_flat, lam)
+
+        single = PR.make_transposed_fused_solve(
+            config, wdyn, wcost, rng_in_kernel=False, emit_perturbed=True)
+        d_1, m_1, s_1, ct_1, pert_1 = jax.jit(single)(
+            bits, x0T, U2, scale_t, zero, lo_t, hi_t, a_flat, lam)
+
+        # global sample 0 is the null action (bounds straddle 0 -> exactly 0)
+        assert np.asarray(pert_s)[:, 0].max() == 0.0
+        assert np.asarray(pert_s)[:, 0].min() == 0.0
+        # and it is the ONLY null sample (noise makes all-zero columns
+        # elsewhere improbable to the point of impossibility)
+        zero_cols = (np.abs(np.asarray(pert_s)) < 1e-12).all(axis=0)
+        assert zero_cols.sum() == 1 and zero_cols[0]
+        np.testing.assert_allclose(np.asarray(ct_s), np.asarray(ct_1),
+                                   rtol=1e-6, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(pert_s), np.asarray(pert_1),
+                                   rtol=1e-6, atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(d_s) / float(s_s), np.asarray(d_1) / float(s_1),
+            rtol=1e-4, atol=1e-7,
+        )
+
     def test_sharded_batched_solve_matches_unsharded(self):
         """Env-sharded batched fused solve (plants over 'data', ZERO
         collectives) vs the single-device batched kernel with identical

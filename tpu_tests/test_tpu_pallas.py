@@ -258,6 +258,34 @@ class TestCompiledKernels:
         # the fused path ran: noise artifact not materialized
         assert ctrl.noise is None
 
+    def test_sharded_fused_null_and_artifacts_one_device_mesh(self):
+        """sample_null_action + fused_artifacts on the K-sharded fused path,
+        compiled on the 1-device 'k' mesh: the dynamic null gate (an SMEM
+        operand fed by axis_index == 0) must lower under Mosaic, sample 0
+        must be the zero action, and the artifact surface must come back."""
+        from pytorch_mppi_tpu.parallel import make_mesh
+
+        mesh = make_mesh((1,), ("k",))
+        ctrl = MPPI(dyn, cost, 2, jnp.eye(2, dtype=DT), num_samples=512,
+                    horizon=8, lambda_=1.0, seed=3, mesh=mesh,
+                    sample_axis="k", use_pallas=True, fused_artifacts=True,
+                    sample_null_action=True,
+                    u_max=jnp.array([1.0, 1.0], DT))
+        state = jnp.array([-3.0, -2.0], DT)
+        for _ in range(10):
+            a = ctrl.command(state)
+            state = dyn(state[None], a[None])[0]
+        assert float(jnp.linalg.norm(GOAL - state)) < 1.2
+        assert ctrl.perturbed_action is not None and ctrl.noise is not None
+        pa = np.asarray(ctrl.perturbed_action)
+        assert pa.shape == (512, 8, 2)
+        # sample 0 is the null action, exactly
+        np.testing.assert_array_equal(pa[0], np.zeros((8, 2), np.float32))
+        # and the only one
+        zero_rows = (np.abs(pa.reshape(512, -1)) < 1e-12).all(axis=1)
+        assert zero_rows.sum() == 1 and zero_rows[0]
+        assert (np.abs(pa) <= 1.0 + 1e-6).all()
+
     def test_sharded_batched_fused_one_device_mesh(self):
         """MPPI_Batched with an env mesh + use_pallas: per-shard batched
         kernels under shard_map, compiled on the 1-device 'data' mesh."""
