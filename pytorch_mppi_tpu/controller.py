@@ -944,6 +944,7 @@ class MPPI_Batched:
         env_axis: str = "data",
         sample_axis: Optional[str] = None,
         use_pallas: bool = False,
+        fused_artifacts: bool = False,
         prng_impl: Optional[str] = "auto",
     ):
         self.mesh = mesh
@@ -999,6 +1000,10 @@ class MPPI_Batched:
             noise_rho=_validate_rho(noise_rho),
             diag_sigma=_is_diag(sigma),
             scan_unroll=int(scan_unroll),
+            # accepted for API symmetry with MPPI/SMPPI/KMPPI; the batched
+            # fused kernel declines it (logged) and falls back to the XLA
+            # path, which always carries full artifacts (make_batched_step)
+            fused_artifacts=bool(fused_artifacts),
             dtype=self.dtype,
         )
         self.terminal_state_cost = terminal_state_cost

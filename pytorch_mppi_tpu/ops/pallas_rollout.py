@@ -439,10 +439,10 @@ def _tp_gate_operand(gate, null_gate):
     null sample (one per shard instead of one global)."""
     if len(gate) != (1 if null_gate else 0):
         raise TypeError(
-            f"this fused solve was built with null_dynamic_gate="
-            f"{bool(null_gate)} but called with {len(gate)} trailing gate "
-            f"argument(s); build the kernel with null_dynamic_gate=True to "
-            f"accept the sharded null gate"
+            f"this fused solve takes {1 if null_gate else 0} trailing "
+            f"null-gate argument(s) but was called with {len(gate)}; the "
+            f"gate exists only when BOTH config.sample_null_action is set "
+            f"and the kernel was built with null_dynamic_gate=True"
         )
     return (jnp.asarray(gate[0], jnp.int32).reshape(1),) if null_gate else ()
 
