@@ -488,8 +488,9 @@ class TestTransposedSolve:
         wdyn_factory = lambda cfg: S.wrap_dynamics(cfg, lin_dyn)
         wcost_factory = lambda cfg: S.wrap_cost(cfg, quad_cost)
 
-        # --- SMPPI ---
-        cfg = MPPIConfig(nx=NX, nu=NU, K=KS, T=T, dtype=DT, diag_sigma=True)
+        # --- SMPPI (null gate + artifact emit active on the sharded path) ---
+        cfg = MPPIConfig(nx=NX, nu=NU, K=KS, T=T, dtype=DT, diag_sigma=True,
+                         sample_null_action=True, fused_artifacts=True)
         bits = jax.random.randint(
             jax.random.PRNGKey(3), (D, KS), -(2**31), 2**31 - 1, jnp.int32)
         U2 = jax.random.normal(jax.random.PRNGKey(5), (D,), DT) * 0.1
@@ -502,22 +503,28 @@ class TestTransposedSolve:
         sh = S.make_sharded_smppi_solve(cfg, wdyn_factory(cfg),
                                         wcost_factory(cfg), mesh, "k",
                                         rng_in_kernel=False)
-        d_s, m_s, s_s, ct_s = jax.jit(sh)(bits, x0T, *args)
+        d_s, m_s, s_s, ct_s, pa_s = jax.jit(sh)(bits, x0T, *args)
         un = PR.make_transposed_smppi_solve(cfg, wdyn_factory(cfg),
                                             wcost_factory(cfg),
-                                            rng_in_kernel=False)
-        d_1, m_1, s_1, ct_1 = jax.jit(un)(bits, x0T, *args)
+                                            rng_in_kernel=False,
+                                            emit_perturbed=True)
+        d_1, m_1, s_1, ct_1, pa_1 = jax.jit(un)(bits, x0T, *args)
         np.testing.assert_allclose(np.asarray(ct_s), np.asarray(ct_1),
                                    rtol=1e-5, atol=1e-5)
         np.testing.assert_allclose(
             np.asarray(d_s) / float(s_s), np.asarray(d_1) / float(s_1),
             rtol=1e-4, atol=1e-7)
+        # emitted action sequences agree; sample 0 is the (clamped) null
+        np.testing.assert_allclose(np.asarray(pa_s), np.asarray(pa_1),
+                                   rtol=1e-6, atol=1e-7)
+        assert np.abs(np.asarray(pa_s)[:, 0]).max() == 0.0
 
         # --- KMPPI ---
         nsp = 4
         Dp = nsp * NU
         cfg_k = MPPIConfig(nx=NX, nu=NU, K=KS, T=T, dtype=DT, diag_sigma=True,
-                           num_support_pts=nsp)
+                           num_support_pts=nsp, sample_null_action=True,
+                           fused_artifacts=True)
         from pytorch_mppi_tpu.ops.kernels import (RBFKernel,
                                                   interpolation_operators)
 
@@ -532,16 +539,21 @@ class TestTransposedSolve:
         shk = S.make_sharded_kmppi_solve(cfg_k, wdyn_factory(cfg_k),
                                          wcost_factory(cfg_k), mesh, "k",
                                          rng_in_kernel=False)
-        dk_s, mk_s, sk_s, ctk_s = jax.jit(shk)(bits_k, x0T, *argk)
+        dk_s, mk_s, sk_s, ctk_s, pk_s = jax.jit(shk)(bits_k, x0T, *argk)
         unk = PR.make_transposed_kmppi_solve(cfg_k, wdyn_factory(cfg_k),
                                              wcost_factory(cfg_k),
-                                             rng_in_kernel=False)
-        dk_1, mk_1, sk_1, ctk_1 = jax.jit(unk)(bits_k, x0T, *argk)
+                                             rng_in_kernel=False,
+                                             emit_perturbed=True)
+        dk_1, mk_1, sk_1, ctk_1, pk_1 = jax.jit(unk)(bits_k, x0T, *argk)
         np.testing.assert_allclose(np.asarray(ctk_s), np.asarray(ctk_1),
                                    rtol=1e-4, atol=1e-3)
         np.testing.assert_allclose(
             np.asarray(dk_s) / float(sk_s), np.asarray(dk_1) / float(sk_1),
             rtol=1e-3, atol=1e-6)
+        # emitted full-horizon trajectories agree; sample 0 is the null
+        np.testing.assert_allclose(np.asarray(pk_s), np.asarray(pk_1),
+                                   rtol=1e-5, atol=1e-6)
+        assert np.abs(np.asarray(pk_s)[:, 0]).max() == 0.0
 
     def test_gate_arity_is_loud(self):
         """A gate argument passed to a kernel built WITHOUT
