@@ -192,133 +192,15 @@ class TestFuzz:
     against direct batch-first evaluation.  A silent numerical divergence
     here would corrupt every fused solve whose user dynamics hits the same
     op pattern — the targeted tests above cover known shapes; this covers
-    the combinatorial space between them."""
-
-    @staticmethod
-    def _gen_program(rng):
-        """Build f(s, u) from a random op chain over a working set of
-        (B, d) arrays; returns (f, nx, nu)."""
-        nx = int(rng.randint(1, 5))
-        nu = int(rng.randint(1, 4))
-        n_ops = int(rng.randint(4, 10))
-        # pre-draw every random choice so f is pure (re-traceable)
-        plan = []
-        # track only dims statically while planning; consts drawn here
-        dims = [nx, nu]
-        for _ in range(n_ops):
-            op = rng.choice([
-                "unary", "binary", "const_bin", "matmul", "reduce",
-                "concat", "slice", "where", "clip", "cumsum",
-            ])
-            i = int(rng.randint(0, len(dims)))
-            j = int(rng.randint(0, len(dims)))
-            if op == "unary":
-                fn = rng.choice(["tanh", "sin", "cos", "logistic", "square",
-                                 "abs", "log1p_abs", "sqrt_abs"])
-                plan.append(("unary", i, fn))
-                dims.append(dims[i])
-            elif op == "binary":
-                # same-dim operands only
-                cands = [k for k, d in enumerate(dims) if d == dims[i]]
-                j = int(cands[rng.randint(0, len(cands))])
-                fn = rng.choice(["add", "mul", "sub", "max", "min"])
-                plan.append(("binary", i, j, fn))
-                dims.append(dims[i])
-            elif op == "const_bin":
-                c = rng.randn(dims[i]) * 0.7
-                plan.append(("const_bin", i, c,
-                             rng.choice(["add", "mul", "atan2"])))
-                dims.append(dims[i])
-            elif op == "matmul":
-                dout = int(rng.randint(1, 6))
-                W = rng.randn(dims[i], dout) * (1.0 / max(1, dims[i]))
-                plan.append(("matmul", i, W))
-                dims.append(dout)
-            elif op == "reduce":
-                fn = rng.choice(["sum", "max", "mean"])
-                plan.append(("reduce", i, fn))
-                dims.append(1)
-            elif op == "concat":
-                plan.append(("concat", i, j))
-                dims.append(dims[i] + dims[j])
-            elif op == "slice":
-                k = int(rng.randint(1, dims[i] + 1))
-                plan.append(("slice", i, k))
-                dims.append(k)
-            elif op == "where":
-                cands = [k for k, d in enumerate(dims) if d == dims[i]]
-                j = int(cands[rng.randint(0, len(cands))])
-                plan.append(("where", i, j))
-                dims.append(dims[i])
-            elif op == "clip":
-                lo = float(rng.uniform(-2.0, 0.0))
-                plan.append(("clip", i, lo, lo + float(rng.uniform(0.5, 3.0))))
-                dims.append(dims[i])
-            elif op == "cumsum":
-                plan.append(("cumsum", i))
-                dims.append(dims[i])
-        # output: project the last value back to nx (dynamics-shaped)
-        Wout = rng.randn(dims[-1], nx) * (1.0 / max(1, dims[-1]))
-        as_cost = bool(rng.randint(0, 2))
-
-        def f(s, u):
-            vals = [s, u]
-            for step in plan:
-                kind = step[0]
-                if kind == "unary":
-                    _, i, fn = step
-                    x = vals[i]
-                    x = {"tanh": jnp.tanh, "sin": jnp.sin, "cos": jnp.cos,
-                         "logistic": jax.nn.sigmoid, "square": jnp.square,
-                         "abs": jnp.abs,
-                         "log1p_abs": lambda v: jnp.log1p(jnp.abs(v)),
-                         "sqrt_abs": lambda v: jnp.sqrt(jnp.abs(v) + 1e-9),
-                         }[fn](x)
-                    vals.append(x)
-                elif kind == "binary":
-                    _, i, j, fn = step
-                    x = {"add": jnp.add, "mul": jnp.multiply,
-                         "sub": jnp.subtract, "max": jnp.maximum,
-                         "min": jnp.minimum}[fn](vals[i], vals[j])
-                    vals.append(x)
-                elif kind == "const_bin":
-                    _, i, c, fn = step
-                    c = jnp.asarray(c, DT)
-                    x = {"add": jnp.add, "mul": jnp.multiply,
-                         "atan2": jnp.arctan2}[fn](vals[i], c)
-                    vals.append(x)
-                elif kind == "matmul":
-                    _, i, W = step
-                    vals.append(vals[i] @ jnp.asarray(W, DT))
-                elif kind == "reduce":
-                    _, i, fn = step
-                    x = {"sum": jnp.sum, "max": jnp.max, "mean": jnp.mean}[
-                        fn](vals[i], axis=-1, keepdims=True)
-                    vals.append(x)
-                elif kind == "concat":
-                    _, i, j = step
-                    vals.append(jnp.concatenate([vals[i], vals[j]], axis=-1))
-                elif kind == "slice":
-                    _, i, k = step
-                    vals.append(vals[i][..., :k])
-                elif kind == "where":
-                    _, i, j = step
-                    vals.append(jnp.where(vals[i] > 0, vals[i], vals[j]))
-                elif kind == "clip":
-                    _, i, lo, hi = step
-                    vals.append(jnp.clip(vals[i], lo, hi))
-                elif kind == "cumsum":
-                    _, i = step
-                    vals.append(jnp.cumsum(vals[i], axis=-1))
-            out = vals[-1] @ jnp.asarray(Wout, DT)
-            return (out**2).sum(axis=-1) if as_cost else out
-
-        return f, nx, nu
+    the combinatorial space between them.  (Generator: tests/fuzz_programs.py,
+    shared with the fused-solve fuzz in test_pallas_transposed.py.)"""
 
     @pytest.mark.parametrize("seed", range(30))
     def test_random_program(self, seed):
+        from fuzz_programs import gen_program
+
         rng = np.random.RandomState(1000 + seed)
-        f, nx, nu = self._gen_program(rng)
+        f, nx, nu = gen_program(rng)
         s = jnp.asarray(rng.randn(B, nx), DT)
         u = jnp.asarray(rng.randn(B, nu), DT)
         _check(f, (s, u), [True, True], rtol=1e-9)

@@ -698,3 +698,81 @@ class TestTransposedSolve:
         assert np.isfinite(np.asarray(ct)).all()
         # s is the sum of 100 weights each <= 1
         assert 0 < float(s_) <= 100.0
+
+
+class TestFuzzFused:
+    """End-to-end fuzz of the fused solve: random dynamics/cost programs from
+    the shared generator (tests/fuzz_programs.py) through
+    ``make_transposed_fused_solve`` (interpret mode, injected bits) vs the
+    plain-jnp mirror of the same math.  Exercises the batch-last interpreter
+    INSIDE the kernel's traced rollout, at random (nx, nu), where a silent
+    layout bug would corrupt real users' fused solves."""
+
+    @pytest.mark.parametrize("seed", range(8))
+    def test_random_dynamics_and_cost(self, seed):
+        from fuzz_programs import gen_program
+
+        rng = np.random.RandomState(2000 + seed)
+        nx = int(rng.randint(1, 5))
+        nu = int(rng.randint(1, 4))
+        core, _, _ = gen_program(rng, force_kind="dynamics", nx=nx, nu=nu,
+                                 dtype=DT)
+        cost_core, _, _ = gen_program(rng, force_kind="cost", nx=nx, nu=nu,
+                                      dtype=DT)
+
+        def dyn(s, a):
+            # residual + tanh squash keeps T rollout steps bounded whatever
+            # the random core does
+            return s + 0.1 * jnp.tanh(core(s, a))
+
+        def cost(s, a):
+            return jnp.abs(cost_core(s, a)) + (s**2).sum(axis=-1)
+
+        Kf, Tf = 256, 5
+        Df = Tf * nu
+        config = MPPIConfig(nx=nx, nu=nu, K=Kf, T=Tf, dtype=DT,
+                            diag_sigma=True)
+        wdyn = S.wrap_dynamics(config, dyn)
+        wcost = S.wrap_cost(config, cost)
+        try:
+            solve = PR.make_transposed_fused_solve(config, wdyn, wcost,
+                                                   rng_in_kernel=False)
+        except UnsupportedPrimitive as e:  # pragma: no cover
+            pytest.fail(f"generator produced out-of-vocabulary program: {e}")
+
+        bits = jax.random.randint(
+            jax.random.PRNGKey(seed), (Df, Kf), -(2**31), 2**31 - 1, jnp.int32)
+        U2 = jax.random.normal(jax.random.PRNGKey(seed + 50), (Df,), DT) * 0.1
+        scale_t = jnp.full((Df,), 0.6, DT)
+        mu_t = jnp.zeros((Df,), DT)
+        lo_t = jnp.full((Df,), -1.5, DT)
+        hi_t = jnp.full((Df,), 1.5, DT)
+        a_flat = U2 * 0.5
+        lam = jnp.asarray(1.0, DT)
+        x0 = jnp.asarray(rng.randn(nx), DT)
+        x0T = jnp.broadcast_to(x0[:, None], (nx, Kf))
+
+        delta_k, m_k, s_k, ct_k = jax.jit(solve)(
+            bits, x0T, U2, scale_t, mu_t, lo_t, hi_t, a_flat, lam)
+
+        # mirror in plain jnp, batch-first
+        z = PR._bits_to_normal(bits)
+        noise2 = z.T * scale_t[None, :] + mu_t[None, :]
+        perturbed2 = jnp.clip(U2[None] + noise2, lo_t, hi_t)
+        noise2 = perturbed2 - U2[None]
+        pert_cost = noise2 @ a_flat
+        rc, _, _ = S.rollout_costs(
+            config, wdyn, wcost, None, None, None, x0,
+            perturbed2.reshape(Kf, Tf, nu) * 1.0, jax.random.PRNGKey(0))
+        ct_m = rc + pert_cost
+        logits = -ct_m / lam
+        m_m = jnp.max(logits)
+        w = jnp.exp(logits - m_m)
+        s_m = jnp.sum(w)
+        delta_m = (w / s_m) @ noise2
+
+        np.testing.assert_allclose(np.asarray(ct_k), np.asarray(ct_m),
+                                   rtol=2e-5, atol=1e-5)
+        np.testing.assert_allclose(float(s_k), float(s_m), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(delta_k) / float(s_k),
+                                   np.asarray(delta_m), rtol=2e-4, atol=2e-6)
