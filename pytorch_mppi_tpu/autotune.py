@@ -579,8 +579,12 @@ class PopulationEvaluator:
             mppi._build_step_fns()
         return fns
 
-    def _build(self):
-        fns = self._planning_fns()
+    def _candidate_evaluator(self, fns):
+        """The pure per-candidate evaluation ``(params, keys (M,), U_nom,
+        state_template, dyn_params) -> (mean cost, first rollout)``.  Shared
+        by the vmapped population path (:meth:`_build`) and the
+        differentiable path (:class:`GradientOpt` takes ``jax.grad`` of the
+        cost through the R refinement solves)."""
         cost_fn = self._rollout_cost_fn or self._default_cost_fn()
         start, R = self.start, self.R
 
@@ -609,6 +613,12 @@ class PopulationEvaluator:
                 one_traj, in_axes=(None, 0, None, None, None)
             )(params, keys, U_nom, state_template, dyn_params)
             return jnp.mean(costs), rollouts[0]
+
+        return eval_candidate
+
+    def _build(self):
+        fns = self._planning_fns()
+        eval_candidate = self._candidate_evaluator(fns)
 
         def eval_pop(params, param_axes, keys, U_nom, state_template, dyn_params):
             # candidates on axis 0 of the base-params leaves AND the key batch
@@ -793,6 +803,159 @@ def evaluate_population(tuner, pop_fn, param_values_list):
     finally:
         _restore()
     return costs
+
+
+class GradientOpt(Optimizer):
+    """First-order hyperparameter tuning by differentiating THROUGH the solve.
+
+    Net-new vs the reference (whose torch controller mutates module state and
+    samples from the global RNG, so autograd cannot flow through a solve):
+    here the hyperparameters are traced leaves of a pure function, so
+    ``jax.value_and_grad`` of the refinement cost w.r.t. (sigma, mu, lambda,
+    and SMPPI's ``w_action_seq_cost``/``delta_t``) is exact — the gradient
+    flows through noise scaling (reparameterization: the normal draw is
+    key-derived, sigma only scales it), the bounds clamp (subgradient), the
+    T-step rollout, the softmax weighting, and the R refinement iterations.
+
+    Positive parameters (sigma, lambda, w_action_seq_cost, delta_t) are
+    optimized in log space; mu is unconstrained.  Each ``optimize_step``
+    runs ``steps_per_iteration`` Adam updates in one cached jit per update,
+    applies the result to the live controller through the tuner's normal
+    ``apply_parameters`` path, and scores it with the population evaluator.
+
+    Requires ``Autotune(..., population_evaluate_fn=PopulationEvaluator(...))``
+    — the evaluator supplies the differentiable candidate evaluation
+    (:meth:`PopulationEvaluator._candidate_evaluator`).  Shape-changing
+    parameters (horizon) and the eagerly-rebuilt ``kernel_sigma`` have no
+    gradient path and are rejected at setup.
+    """
+
+    LOG_SPACE = {"sigma", "lambda", "w_action_seq_cost", "delta_t"}
+    SUPPORTED = {"sigma", "mu", "lambda", "w_action_seq_cost", "delta_t"}
+
+    def __init__(self, lr: float = 0.05, steps_per_iteration: int = 5,
+                 resample_noise: bool = False, seed: int = 0):
+        self.lr = float(lr)
+        self.steps = int(steps_per_iteration)
+        # False (default): common random numbers — the same noise keys every
+        # update give a deterministic objective, so small-step Adam descends
+        # a fixed surface.  True: fresh keys per update (stochastic gradients)
+        self.resample_noise = bool(resample_noise)
+        self.seed = int(seed)
+        super().__init__()
+
+    def setup_optimization(self):
+        import optax
+
+        ev = getattr(self.tuner, "population_evaluate_fn", None)
+        if not isinstance(ev, PopulationEvaluator):
+            raise ValueError(
+                "GradientOpt requires Autotune(..., population_evaluate_fn="
+                "PopulationEvaluator(...)) — it differentiates through the "
+                "evaluator's refinement solves"
+            )
+        names = [p.name() for p in self.tuner.params]
+        bad = set(names) - self.SUPPORTED
+        if bad:
+            raise ValueError(
+                f"GradientOpt supports {sorted(self.SUPPORTED)}; got "
+                f"{sorted(bad)} (horizon changes shapes; kernel_sigma "
+                f"rebuilds interpolation operators eagerly — neither has a "
+                f"gradient path)"
+            )
+        self.ev = ev
+        dt = ev.dtype
+        theta = {}
+        for p in self.tuner.params:
+            v = jnp.asarray(p.get_current_parameter_value(), dt).reshape(-1)
+            theta[p.name()] = (
+                jnp.log(jnp.maximum(v, Autotune.eps))
+                if p.name() in self.LOG_SPACE else v
+            )
+        self._theta = theta
+        self.optim = optax.adam(self.lr)
+        self._opt_state = self.optim.init(theta)
+        self._key = jax.random.PRNGKey(self.seed)
+        self._grad_cache: dict = {}
+
+    def _param_dict(self, theta):
+        return {
+            n: jnp.exp(v) if n in self.LOG_SPACE else v
+            for n, v in theta.items()
+        }
+
+    def _loss_and_grad(self, fns):
+        cached = self._grad_cache.get(fns)
+        if cached is not None:
+            return cached
+        ev = self.ev
+        eval_candidate = ev._candidate_evaluator(fns)
+        names = set(n for n in self._theta)
+        variant_names = names & {"w_action_seq_cost", "delta_t"}
+
+        def loss(theta, full_template, keys, U_nom, state_template,
+                 dyn_params):
+            # full_template: the controller's CURRENT params pytree, passed
+            # as a traced arg (NOT a closure constant) so externally-changed
+            # untuned leaves are honored on every update
+            d = self._param_dict(theta)
+            base = (full_template.base if hasattr(full_template, "base")
+                    else full_template)
+            repl = {}
+            if "sigma" in d:
+                repl["noise_sigma"] = jnp.diag(d["sigma"])
+            if "mu" in d:
+                repl["noise_mu"] = d["mu"]
+            if "lambda" in d:
+                repl["lambda_"] = d["lambda"].reshape(())
+            base = base._replace(**repl)
+            if hasattr(full_template, "base"):
+                variant = {
+                    n: d[n].reshape(()) for n in variant_names
+                }
+                params = full_template._replace(base=base, **variant)
+            else:
+                params = base
+            cost, _ = eval_candidate(params, keys, U_nom, state_template,
+                                     dyn_params)
+            return cost
+
+        vg = jax.jit(jax.value_and_grad(loss))
+        self._grad_cache[fns] = vg
+        return vg
+
+    def _full_template(self):
+        return (self.ev.mppi._full_params()
+                if hasattr(self.ev.mppi, "_full_params")
+                else self.ev.mppi._params)
+
+    def optimize_step(self) -> EvaluationResult:
+        ev = self.ev
+        vg = self._loss_and_grad(ev._planning_fns())
+        if self.resample_noise or not hasattr(self, "_fixed_keys"):
+            self._key, sub = jax.random.split(self._key)
+            self._fixed_keys = jax.random.split(sub, ev.M)
+        for _ in range(self.steps):
+            cost, grads = vg(
+                self._theta, self._full_template(), self._fixed_keys,
+                ev.mppi.U, ev.mppi._state, ev.mppi.dynamics_params,
+            )
+            import optax
+
+            updates, self._opt_state = self.optim.update(
+                grads, self._opt_state, self._theta)
+            self._theta = optax.apply_updates(self._theta, updates)
+        # apply through the tuner's normal validation/apply path, then score
+        applied = {
+            p.name(): p.ensure_valid_value(
+                np.asarray(self._param_dict(self._theta)[p.name()],
+                           dtype=np.float64).reshape(-1)
+            )
+            for p in self.tuner.params
+        }
+        self.tuner.apply_parameters(applied)
+        res = ev([vmappable_subset(applied)])
+        return res._replace(costs=res.costs.reshape(-1))
 
 
 # ---------------------------------------------------------------------------
