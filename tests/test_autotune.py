@@ -965,3 +965,41 @@ class TestGradientOpt:
         for _ in range(4):
             tuner.optimize_step()
         assert float(jnp.mean(tuner.get_best_result().costs)) < c0
+
+    def test_smppi_variant_scalars(self):
+        """The gradient flows into SMPPI's traced w_action_seq_cost/delta_t
+        scalars (the variant_names branch of the loss)."""
+        from pytorch_mppi_tpu import SMPPI
+
+        env = Toy2DEnvironment(terminal_scale=10.0, dtype=DTYPE)
+        ctrl = SMPPI(
+            env.dynamics, env.running_cost, 2,
+            noise_sigma=jnp.diag(jnp.array([2.0, 2.0], DTYPE)),
+            num_samples=128, horizon=10, lambda_=5.0, seed=SEED,
+            w_action_seq_cost=5.0, delta_t=0.8,
+            action_max=jnp.array([2.0, 2.0], DTYPE),
+        )
+        ev = autotune.PopulationEvaluator(
+            ctrl, env.start, num_refinement_steps=3, num_trajectories=1,
+            seed=2,
+        )
+        tuner = autotune.Autotune(
+            [autotune.SigmaParameter(ctrl),
+             autotune.WActionSeqCostParameter(ctrl),
+             autotune.DeltaTParameter(ctrl)],
+            evaluate_fn=lambda: ev([{}]),
+            optimizer=autotune.GradientOpt(lr=0.1, steps_per_iteration=5),
+            population_evaluate_fn=ev,
+        )
+        c0 = float(jnp.mean(ev([{}]).costs))
+        for _ in range(4):
+            res = tuner.optimize_step()
+        assert np.isfinite(np.asarray(res.costs)).all()
+        best = tuner.get_best_result()
+        # the objective is stochastic (the evaluator re-draws scoring keys
+        # per call): assert no blow-up rather than strict improvement on
+        # this already-decent starting configuration
+        assert float(jnp.mean(best.costs)) <= 1.15 * c0
+        # the scalars actually moved (gradient reached them)
+        assert not (ctrl.w_action_seq_cost == pytest.approx(5.0)
+                    and ctrl.delta_t == pytest.approx(0.8))
