@@ -118,6 +118,21 @@ def main():
     print(f"Population-parallel global search best cost "
           f"{float(jnp.mean(best.costs)):.2f}")
 
+    # (e) differentiable tuning (no reference counterpart): exact gradients
+    # THROUGH the refinement solves — Adam on log-space (sigma, lambda)
+    tuner = autotune.Autotune(
+        [autotune.SigmaParameter(mppi), autotune.LambdaParameter(mppi)],
+        evaluate_fn=evaluate,
+        optimizer=autotune.GradientOpt(lr=0.1, steps_per_iteration=5),
+        population_evaluate_fn=evaluator,
+    )
+    for i in range(5):
+        res = tuner.optimize_step()
+    best = tuner.get_best_result()
+    print(f"Gradient (through-the-solve) best cost "
+          f"{float(jnp.mean(best.costs)):.2f} params "
+          f"{ {k: np.asarray(v).round(3).tolist() for k, v in best.params.items()} }")
+
 
 if __name__ == "__main__":
     main()
