@@ -195,3 +195,57 @@ class TestToy2D:
         out = dyn(jnp.zeros((4, 2), jnp.float64), jnp.ones((4, 2), jnp.float64))
         assert out.shape == (4, 2)
         assert jnp.isfinite(out).all()
+
+
+class TestDifferentiableClosedLoop:
+    """The ENTIRE closed loop — plan with the learned model, execute on the
+    true plant — is differentiable w.r.t. the model weights, so a dynamics
+    model can be trained through TASK COST alone (no prediction-error
+    supervision).  No reference counterpart: torch autograd cannot flow
+    through the reference controller's RNG and in-place mutation."""
+
+    def test_train_dynamics_through_control(self):
+        import optax
+
+        from pytorch_mppi_tpu.config import MPPIConfig, MPPIParams, MPPIState
+        from pytorch_mppi_tpu.ops import solve as S
+        from pytorch_mppi_tpu.models.mlp import mlp_init, make_residual_dynamics
+
+        DT = jnp.float32
+        B = jnp.array([[1.0, 0.0], [0.0, -1.0]], DT)
+        goal = jnp.array([2.0, 2.0], DT)
+        true_dyn = lambda s, a: s + a @ B.T
+        cost = lambda s, a: ((goal - s) ** 2).sum(axis=-1)
+
+        w = mlp_init(jax.random.PRNGKey(0), [4, 16, 2])
+        model = make_residual_dynamics(2, 2)
+        config = MPPIConfig(nx=2, nu=2, K=128, T=8, dtype=DT,
+                            diag_sigma=True, parameterized_dynamics=True)
+        fns = S.make_mppi_step(config, model, cost, jit=False)
+        params = MPPIParams(
+            noise_mu=jnp.zeros(2, DT), noise_sigma=jnp.eye(2, dtype=DT),
+            lambda_=jnp.asarray(1.0, DT), u_min=jnp.full((2,), -1.0, DT),
+            u_max=jnp.full((2,), 1.0, DT), u_init=jnp.zeros(2, DT),
+        )
+
+        def task_loss(w):
+            st = MPPIState(U=jnp.zeros((8, 2), DT), key=jax.random.PRNGKey(7))
+            x = jnp.array([-3.0, -2.0], DT)
+            tot = 0.0
+            for _ in range(6):
+                st, a, _ = fns.step(params, st, x, None, w)  # plan: MODEL
+                x = true_dyn(x[None], a[None])[0]            # execute: TRUTH
+                tot = tot + ((goal - x) ** 2).sum()
+            return tot
+
+        opt = optax.adam(3e-3)
+        opt_state = opt.init(w)
+        vg = jax.jit(jax.value_and_grad(task_loss))
+        l0, _ = vg(w)
+        for _ in range(25):
+            l, g = vg(w)
+            updates, opt_state = opt.update(g, opt_state, w)
+            w = optax.apply_updates(w, updates)
+        assert np.isfinite(float(l))
+        # measured: 370 -> ~55; assert a conservative 2x improvement
+        assert float(l) < 0.5 * float(l0), f"{float(l)} vs initial {float(l0)}"
