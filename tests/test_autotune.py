@@ -1003,3 +1003,33 @@ class TestGradientOpt:
         # the scalars actually moved (gradient reached them)
         assert not (ctrl.w_action_seq_cost == pytest.approx(5.0)
                     and ctrl.delta_t == pytest.approx(0.8))
+
+    def test_kmppi_gradient_tuning(self):
+        """The gradient flows through KMPPI's support-point sampling and
+        kernel interpolation too (base sigma/lambda leaves of KMPPIParams)."""
+        from pytorch_mppi_tpu import KMPPI, RBFKernel
+
+        B = jnp.array([[1.0, 0.0], [0.0, -1.0]], jnp.float32)
+        goal = jnp.array([2.0, 2.0], jnp.float32)
+        dyn = lambda s, a: s + a @ B.T
+        cost = lambda s, a: ((goal - s) ** 2).sum(axis=-1)
+        ctrl = KMPPI(
+            dyn, cost, nx=2,
+            noise_sigma=jnp.eye(2, dtype=jnp.float32) * 0.05,
+            num_samples=128, horizon=10, lambda_=10.0, seed=0,
+            kernel=RBFKernel(2.0), num_support_pts=5,
+        )
+        ev = autotune.PopulationEvaluator(
+            ctrl, start_state=jnp.array([-3.0, -2.0], jnp.float32),
+            num_refinement_steps=4, num_trajectories=1, seed=1,
+        )
+        tuner = autotune.Autotune(
+            [autotune.SigmaParameter(ctrl), autotune.LambdaParameter(ctrl)],
+            evaluate_fn=lambda: ev([{}]),
+            optimizer=autotune.GradientOpt(lr=0.2, steps_per_iteration=8),
+            population_evaluate_fn=ev,
+        )
+        c0 = float(jnp.mean(ev([{}]).costs))
+        for _ in range(6):
+            tuner.optimize_step()
+        assert float(jnp.mean(tuner.get_best_result().costs)) < 0.5 * c0
