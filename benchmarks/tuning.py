@@ -119,6 +119,34 @@ def main():
             "sequential_s": round(seq, 4), "vmapped_s": round(pop, 4),
             "speedup": round(seq / pop, 1),
         }))
+
+    # gradient optimizer: no sequential counterpart (it REQUIRES the
+    # differentiable evaluator); one optimize_step = 5 Adam updates, each a
+    # value_and_grad through R refinement solves, + 1 scoring dispatch
+    env, mppi = make_problem()
+    ev = autotune.PopulationEvaluator(
+        mppi, env.start, num_refinement_steps=R, num_trajectories=M
+    )
+    tuner = autotune.Autotune(
+        [autotune.SigmaParameter(mppi), autotune.LambdaParameter(mppi)],
+        evaluate_fn=make_sequential_eval(env, mppi),
+        optimizer=autotune.GradientOpt(lr=0.1, steps_per_iteration=5),
+        population_evaluate_fn=ev,
+    )
+    tuner.optimize_step()  # warmup
+    times = []
+    for _ in range(args.steps):
+        t0 = time.perf_counter()
+        tuner.optimize_step()
+        times.append(time.perf_counter() - t0)
+    times.sort()
+    grad_s = times[len(times) // 2]
+    results["gradient"] = (None, grad_s)
+    print(json.dumps({
+        "optimizer": "gradient", "adam_updates_per_step": 5,
+        "vmapped_s": round(grad_s, 4),
+        "note": "value_and_grad through R solves; no sequential counterpart",
+    }))
     return results
 
 
