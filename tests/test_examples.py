@@ -1,0 +1,47 @@
+"""Example-driver smoke tests: the runnable scripts under ``examples/`` must
+not rot (import, run at tiny shapes, hit their own success criteria).
+
+The reference keeps its examples un-tested (CI runs only the pure suites,
+``/root/reference/.github/workflows/tests.yml:23-29``) — here the two
+dependency-free drivers with a ``main()`` entry point are smoke-run on the
+CPU backend at reduced shapes; the gym/matplotlib-gated ones are exercised by
+their library-level counterparts in ``tests/test_models.py``.
+"""
+import pathlib
+import sys
+
+import pytest
+
+EXAMPLES = pathlib.Path(__file__).resolve().parent.parent / "examples"
+
+
+@pytest.fixture(autouse=True)
+def _examples_on_path():
+    sys.path.insert(0, str(EXAMPLES))
+    yield
+    sys.path.remove(str(EXAMPLES))
+
+
+class TestScenarioBatch:
+    def test_tiny_run_converges(self):
+        import scenario_batch
+
+        converged, N = scenario_batch.main(
+            ["--plants", "8", "--samples", "128", "--horizon", "8",
+             "--steps", "30"]
+        )
+        # K=128 is far noisier than the example's default 256: the smoke gate
+        # is most-plants-converge, the example's own assert holds the 90% bar
+        assert converged >= 0.75 * N
+
+    def test_meshed_run_matches_unmeshed(self, capsys):
+        """The 'data'-mesh run must produce the SAME convergence count as the
+        unmeshed run (bit-identical sharding: plants are independent and the
+        noise stream is layout-invariant)."""
+        import scenario_batch
+
+        args = ["--plants", "8", "--samples", "128", "--horizon", "8",
+                "--steps", "20"]
+        c0, _ = scenario_batch.main(args)
+        c1, _ = scenario_batch.main(args + ["--mesh"])
+        assert c0 == c1
