@@ -17,16 +17,19 @@ logging.basicConfig(level=logging.INFO)
 logger = logging.getLogger(__name__)
 
 
-def main():
+def main(fast: bool = False):
     # f32 explicitly: without jax_enable_x64 JAX would silently downcast f64
     # anyway, and f32 is the TPU-native precision (reference uses f64 on CPU)
     dtype = jnp.float32
     env = Toy2DEnvironment(terminal_scale=10.0, dtype=dtype)
 
+    # fast=True: reduced shapes/iterations for the smoke test
+    # (tests/test_examples.py) — same code paths, ~10x less work
+    n_iters = 2 if fast else 5
     mppi = MPPI(
         env.dynamics, env.running_cost, 2,
         noise_sigma=jnp.diag(jnp.array([5.0, 5.0], dtype)),
-        num_samples=500, horizon=20,
+        num_samples=128 if fast else 500, horizon=10 if fast else 20,
         terminal_state_cost=env.terminal_cost,
         u_max=jnp.array([2.0, 2.0], dtype),
         lambda_=1.0, seed=1,
@@ -35,8 +38,8 @@ def main():
     # use the same nominal trajectory for every evaluation for fairness
     # (reference auto_tune_parameters.py:256-276)
     nominal_trajectory = mppi.U
-    num_refinement_steps = 10
-    num_trajectories = 5
+    num_refinement_steps = 3 if fast else 10
+    num_trajectories = 2 if fast else 5
 
     def evaluate():
         costs, rollouts = [], []
@@ -64,7 +67,7 @@ def main():
         params_to_tune, evaluate_fn=evaluate,
         optimizer=autotune.CMAESOpt(sigma=1.0, population=6, seed=1),
     )
-    for i in range(5):
+    for i in range(n_iters):
         res = tuner.optimize_step()
     best = tuner.get_best_result()
     tuner.apply_parameters(best.params)
@@ -81,7 +84,7 @@ def main():
         params_to_tune, evaluate_fn=evaluate,
         optimizer=autotune_global.GlobalSearchOpt(batch_size=8, seed=1),
     )
-    res = tuner.optimize_all(3)
+    res = tuner.optimize_all(n_iters)
     best = tuner.get_best_result()
     print(f"Global search best cost {float(jnp.mean(best.costs)):.2f}")
 
@@ -90,7 +93,7 @@ def main():
         params_to_tune, evaluate_fn=evaluate,
         optimizer=autotune_qd.CMAMEOpt(population=6, sigma=1.0, bins=10, seed=1),
     )
-    res = tuner.optimize_all(4)
+    res = tuner.optimize_all(n_iters)
     diverse = tuner.optim.get_diverse_top_parameters(4)
     print(f"QD archive size {len(tuner.optim.archive)}; diverse params:")
     for p in diverse:
@@ -113,7 +116,7 @@ def main():
         optimizer=autotune_global.GlobalSearchOpt(batch_size=8, seed=1),
         population_evaluate_fn=evaluator,
     )
-    res = tuner.optimize_all(3)
+    res = tuner.optimize_all(n_iters)
     best = tuner.get_best_result()
     print(f"Population-parallel global search best cost "
           f"{float(jnp.mean(best.costs)):.2f}")
@@ -126,7 +129,7 @@ def main():
         optimizer=autotune.GradientOpt(lr=0.1, steps_per_iteration=5),
         population_evaluate_fn=evaluator,
     )
-    for i in range(5):
+    for i in range(n_iters):
         res = tuner.optimize_step()
     best = tuner.get_best_result()
     print(f"Gradient (through-the-solve) best cost "
@@ -135,4 +138,5 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    main(fast="--fast" in sys.argv)

@@ -865,11 +865,19 @@ class GradientOpt(Optimizer):
             )
         self.ev = ev
         dt = ev.dtype
+        # per-parameter positive floor for the log transform: the parameter's
+        # own eps when positive (SigmaParameter 1e-4, ...), else a tiny floor
+        # so a legitimate 0 (WActionSeqCostParameter.eps == 0.0) stays
+        # representable as a very negative log instead of being lifted to 1e-4
+        self._floor = {
+            p.name(): max(float(getattr(p, "eps", Autotune.eps) or 0.0), 1e-8)
+            for p in self.tuner.params
+        }
         theta = {}
         for p in self.tuner.params:
             v = jnp.asarray(p.get_current_parameter_value(), dt).reshape(-1)
             theta[p.name()] = (
-                jnp.log(jnp.maximum(v, Autotune.eps))
+                jnp.log(jnp.maximum(v, self._floor[p.name()]))
                 if p.name() in self.LOG_SPACE else v
             )
         self._theta = theta
@@ -930,6 +938,8 @@ class GradientOpt(Optimizer):
                 else self.ev.mppi._params)
 
     def optimize_step(self) -> EvaluationResult:
+        import optax
+
         ev = self.ev
         vg = self._loss_and_grad(ev._planning_fns())
         if self.resample_noise or not hasattr(self, "_fixed_keys"):
@@ -940,8 +950,6 @@ class GradientOpt(Optimizer):
                 self._theta, self._full_template(), self._fixed_keys,
                 ev.mppi.U, ev.mppi._state, ev.mppi.dynamics_params,
             )
-            import optax
-
             updates, self._opt_state = self.optim.update(
                 grads, self._opt_state, self._theta)
             self._theta = optax.apply_updates(self._theta, updates)
@@ -954,6 +962,19 @@ class GradientOpt(Optimizer):
             for p in self.tuner.params
         }
         self.tuner.apply_parameters(applied)
+        # re-sync theta with what the controller actually holds (projected
+        # descent): without this a clamped parameter (e.g. lambda at its eps
+        # floor) lets Adam keep descending a theta the controller can never
+        # hold, and the optimized surface silently diverges from the scored
+        # one.  No-op when nothing clamped (log(exp(theta)) == theta).
+        dt = ev.dtype
+        for p in self.tuner.params:
+            n = p.name()
+            v = jnp.asarray(applied[n], dt).reshape(-1)
+            self._theta[n] = (
+                jnp.log(jnp.maximum(v, self._floor[n]))
+                if n in self.LOG_SPACE else v
+            )
         res = ev([vmappable_subset(applied)])
         return res._replace(costs=res.costs.reshape(-1))
 

@@ -10,8 +10,6 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-DT = jnp.float64
-
 
 def gen_program(rng, force_kind=None, nx=None, nu=None, dtype=None):
     """Build f(s, u) from a random op chain over a working set of

@@ -2,10 +2,12 @@
 not rot (import, run at tiny shapes, hit their own success criteria).
 
 The reference keeps its examples un-tested (CI runs only the pure suites,
-``/root/reference/.github/workflows/tests.yml:23-29``) — here the two
-dependency-free drivers with a ``main()`` entry point are smoke-run on the
-CPU backend at reduced shapes; the gym/matplotlib-gated ones are exercised by
-their library-level counterparts in ``tests/test_models.py``.
+``/root/reference/.github/workflows/tests.yml:23-29``) — here the
+parameterizable dependency-free drivers (``scenario_batch``,
+``auto_tune_parameters --fast``) are smoke-run on the CPU backend at reduced
+shapes; ``fused_kernel_demo`` needs a TPU (covered by the tpu_tests lane)
+and the gym/matplotlib-gated pendulum drivers are exercised by their
+library-level counterparts in ``tests/test_models.py``.
 """
 import pathlib
 import sys
@@ -45,3 +47,18 @@ class TestScenarioBatch:
         c0, _ = scenario_batch.main(args)
         c1, _ = scenario_batch.main(args + ["--mesh"])
         assert c0 == c1
+
+
+class TestAutoTuneExample:
+    def test_fast_run_all_five_sections(self, capsys):
+        """All five tuning sections (CMA-ES, Sobol, QD, population-parallel,
+        gradient) run end-to-end at reduced shapes (~2 min CPU)."""
+        import auto_tune_parameters
+
+        auto_tune_parameters.main(fast=True)
+        out = capsys.readouterr().out
+        assert "CMA-ES best cost" in out
+        assert "Global search best cost" in out
+        assert "QD archive size" in out
+        assert "Population-parallel global search best cost" in out
+        assert "Gradient (through-the-solve) best cost" in out

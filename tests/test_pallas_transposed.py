@@ -43,7 +43,7 @@ def mlp_dyn(s, a):
 
 def _mirror(config, dyn, cost, bits, x0, U2, scale_t, mu_t, lo_t, hi_t,
             a_flat, lam):
-    """The identical math in plain jnp, batch-first."""
+    """The identical math in plain jnp, batch-first (shapes from config)."""
     z = PR._bits_to_normal(bits)  # (D, Keff)
     if config.antithetic:
         z = jnp.concatenate([z, -z], axis=1)
@@ -59,7 +59,8 @@ def _mirror(config, dyn, cost, bits, x0, U2, scale_t, mu_t, lo_t, hi_t,
     wcost = S.wrap_cost(config, cost)
     rc, _, _ = S.rollout_costs(
         config, wdyn, wcost, None, None, None, x0,
-        perturbed2.reshape(K, T, NU) * 1.0, jax.random.PRNGKey(0),
+        perturbed2.reshape(config.K, config.T, config.nu) * 1.0,
+        jax.random.PRNGKey(0),
     )
     ct = rc + pert_cost
     logits = -ct / lam
@@ -755,21 +756,11 @@ class TestFuzzFused:
         delta_k, m_k, s_k, ct_k = jax.jit(solve)(
             bits, x0T, U2, scale_t, mu_t, lo_t, hi_t, a_flat, lam)
 
-        # mirror in plain jnp, batch-first
-        z = PR._bits_to_normal(bits)
-        noise2 = z.T * scale_t[None, :] + mu_t[None, :]
-        perturbed2 = jnp.clip(U2[None] + noise2, lo_t, hi_t)
-        noise2 = perturbed2 - U2[None]
-        pert_cost = noise2 @ a_flat
-        rc, _, _ = S.rollout_costs(
-            config, wdyn, wcost, None, None, None, x0,
-            perturbed2.reshape(Kf, Tf, nu) * 1.0, jax.random.PRNGKey(0))
-        ct_m = rc + pert_cost
-        logits = -ct_m / lam
-        m_m = jnp.max(logits)
-        w = jnp.exp(logits - m_m)
-        s_m = jnp.sum(w)
-        delta_m = (w / s_m) @ noise2
+        # the module's shared mirror is the oracle (covers every config
+        # branch the targeted tests pin — no drift between the two)
+        ct_m, m_m, s_m, delta_m, _ = _mirror(
+            config, dyn, cost, bits, x0, U2, scale_t, mu_t, lo_t, hi_t,
+            a_flat, lam)
 
         np.testing.assert_allclose(np.asarray(ct_k), np.asarray(ct_m),
                                    rtol=2e-5, atol=1e-5)
