@@ -5,9 +5,11 @@ The reference keeps its examples un-tested (CI runs only the pure suites,
 ``/root/reference/.github/workflows/tests.yml:23-29``) — here the
 parameterizable dependency-free drivers (``scenario_batch``,
 ``auto_tune_parameters --fast``) are smoke-run on the CPU backend at reduced
-shapes; ``fused_kernel_demo`` needs a TPU (covered by the tpu_tests lane)
-and the gym/matplotlib-gated pendulum drivers are exercised by their
-library-level counterparts in ``tests/test_models.py``.
+shapes; ``fused_kernel_demo`` needs a TPU to be meaningful (its code path —
+MLP dynamics through the fused kernel — is pinned on-chip by
+``tpu_tests/test_tpu_pallas.py``) and the gym/matplotlib-gated pendulum
+drivers are exercised by their library-level counterparts in
+``tests/test_models.py``.
 """
 import pathlib
 import sys
