@@ -64,3 +64,11 @@ class TestAutoTuneExample:
         assert "QD archive size" in out
         assert "Population-parallel global search best cost" in out
         assert "Gradient (through-the-solve) best cost" in out
+
+
+class TestDifferentiableMPCExample:
+    def test_training_through_control_improves(self):
+        import differentiable_mpc
+
+        l0, l1 = differentiable_mpc.main(train_steps=15)
+        assert l1 < 0.6 * l0
