@@ -15,6 +15,8 @@ machine's CPU at the same config (K=10k, T=30): 22.6 solves/s
 (median of 30 solves, torch 2.x eager, measured 2026-08-16 in this container).
 """
 import json
+import os
+import subprocess
 import sys
 import time
 
@@ -35,9 +37,50 @@ REPEATS = 7  # median over more repeats: the relay RTT jitters tens of ms
 DTYPE = jnp.float32
 
 
+def _probe_device_reachable(timeout_s=600):
+    """Bounded liveness check for the remote TPU relay.
+
+    On this setup the TPU is reached through a relay that can go down; when it
+    does, the first device operation (even ``jax.devices()``) blocks forever
+    rather than raising.  Probing in a subprocess with a hard timeout keeps the
+    benchmark bounded: a healthy relay completes the tiny fetch in ~2 min
+    (fresh dial), a dead one trips the timeout and we fall back to the host
+    CPU so the driver still records an (honestly labeled) measurement.
+    """
+    code = (
+        "import jax, numpy as np; "
+        "print(np.asarray(jax.numpy.ones((8, 128)).sum()))"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
+    note = None
+    if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu") and not (
+        _probe_device_reachable()
+    ):
+        # backend resolution is lazy, so flipping the platform after import
+        # (but before the first device op) is still effective
+        jax.config.update("jax_platforms", "cpu")
+        note = "accelerator unreachable (relay probe timed out); CPU fallback"
+        print(f"# WARNING: {note}", file=sys.stderr)
+
     dev = jax.devices()[0]
     print(f"# device: {dev} ({dev.platform})", file=sys.stderr)
+
+    # batching amortizes the ~30 ms relay RTT; a local CPU backend has no RTT,
+    # so the fallback lane can use far fewer solves per timed dispatch and keep
+    # the whole benchmark bounded (CPU is ~1000x slower per solve)
+    solves_per_dispatch = SOLVES_PER_DISPATCH if dev.platform != "cpu" else 50
+    repeats = REPEATS if dev.platform != "cpu" else 3
 
     B = jnp.array([[1.0, 0.0], [0.0, -1.0]], DTYPE)
     goal = jnp.array([2.0, 2.0], DTYPE)
@@ -84,7 +127,7 @@ def main():
 
             (ctrl_state, x, min_d), _ = lax.scan(
                 body, (ctrl_state, x0, jnp.asarray(jnp.inf, DTYPE)), None,
-                length=SOLVES_PER_DISPATCH,
+                length=solves_per_dispatch,
             )
             return jnp.concatenate([x, min_d[None]])
 
@@ -140,13 +183,13 @@ def main():
         print(f"# [{name}] compile+first-run: {time.perf_counter()-t0:.1f}s", file=sys.stderr)
 
         times = []
-        for _ in range(REPEATS):
+        for _ in range(repeats):
             t0 = time.perf_counter()
             out = np.asarray(closed_loop(params, ctrl_state, x0))
             times.append(time.perf_counter() - t0)
         times.sort()
         median = times[len(times) // 2]
-        per_solve = max(median - rtt, 1e-9) / SOLVES_PER_DISPATCH
+        per_solve = max(median - rtt, 1e-9) / solves_per_dispatch
 
         final_dist = float(np.linalg.norm(out[:NX] - np.asarray(goal)))
         min_dist = float(out[NX])
@@ -167,16 +210,15 @@ def main():
     per_solve = min(results.values())
     solves_per_s = 1.0 / per_solve
 
-    print(
-        json.dumps(
-            {
-                "metric": "MPC solves/s per chip (K=10k, T=30)",
-                "value": round(solves_per_s, 2),
-                "unit": "solves/s",
-                "vs_baseline": round(solves_per_s / REFERENCE_SOLVES_PER_S, 2),
-            }
-        )
-    )
+    line = {
+        "metric": "MPC solves/s per chip (K=10k, T=30)",
+        "value": round(solves_per_s, 2),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / REFERENCE_SOLVES_PER_S, 2),
+    }
+    if note is not None:
+        line["note"] = note
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
