@@ -19,17 +19,85 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _probe_device_reachable(timeout_s=600):
+    """Bounded liveness check for the remote TPU relay (see bench.py).
+
+    When the relay is down, any device op — including the lane's own
+    TPU-detection in tpu_tests/conftest.py — blocks forever instead of
+    raising, so the lane can neither run nor self-skip.  Probing first in a
+    subprocess under a hard timeout keeps this runner bounded.
+    """
+    code = (
+        "import jax, numpy as np; "
+        "print(np.asarray(jax.numpy.ones((8, 128)).sum()))"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _write(out_path, result):
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=os.path.join(REPO, "TPU_TESTS.json"))
     args = ap.parse_args()
 
+    if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu") and not (
+        _probe_device_reachable()
+    ):
+        # environmental, like the no-TPU self-skip: record it and exit clean,
+        # preserving the last successful run's counts as evidence
+        result = {
+            "cmd": "pytest tpu_tests/ -q",
+            "rc": None,
+            "ok": False,
+            "outcome": "unreachable",
+            "note": "TPU relay probe failed or timed out; lane not run",
+        }
+        try:
+            with open(args.out) as f:
+                prev = json.load(f)
+            result["previous"] = {
+                k: prev[k] for k in
+                ("outcome", "passed", "failed", "skipped", "duration_s")
+                if k in prev
+            }
+        except (OSError, ValueError):
+            pass
+        _write(args.out, result)
+        return 0
+
     t0 = time.time()
-    proc = subprocess.run(
-        [sys.executable, "-m", "pytest", "tpu_tests/", "-q", "--no-header"],
-        cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
-        timeout=3600,
-    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-m", "pytest", "tpu_tests/", "-q", "--no-header"],
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, timeout=3600,
+        )
+    except subprocess.TimeoutExpired as e:
+        out = e.stdout or b""
+        if isinstance(out, bytes):
+            out = out.decode(errors="replace")
+        _write(args.out, {
+            "cmd": "pytest tpu_tests/ -q",
+            "rc": None,
+            "ok": False,
+            "outcome": "timeout",
+            "duration_s": round(time.time() - t0, 1),
+            "tail": "\n".join(out.strip().splitlines()[-5:]),
+        })
+        return 1
     dur = time.time() - t0
     tail = proc.stdout[-6000:]
     # parse ONLY pytest's final summary line ("N passed, M skipped in 12.3s"),
@@ -63,9 +131,7 @@ def main():
         **counts,
         "tail": "\n".join(tail.strip().splitlines()[-5:]),
     }
-    with open(args.out, "w") as f:
-        json.dump(result, f, indent=1)
-    print(json.dumps(result))
+    _write(args.out, result)
     return 0 if result["outcome"] in ("passed", "skipped") else 1
 
 
