@@ -995,6 +995,7 @@ def make_transposed_batched_solve(
     running_cost: Callable,  # wrapped: (state, u, t) -> cost
     block_k: int = None,
     rng_in_kernel: bool = True,
+    noise_operand: bool = False,
 ):
     """The N-plant scenario-batched iteration (reference MPPI_Batched,
     mppi.py:691-873) as one transposed K-on-lanes kernel over a (N, K-blocks)
@@ -1017,7 +1018,25 @@ def make_transposed_batched_solve(
         U_n`` flattened.  With ``rng_in_kernel=False`` (CPU interpret tests)
         ``seed_or_bits`` is int32 bits of shape (D, K_pad) — shared across
         plants, like the XLA path's single draw.
+
+    ``noise_operand=True`` is the third sampling mode: ``seed_or_bits`` is
+    the FINAL shared noise (already bits->normal mapped, antithetic-mirrored,
+    correlated and mu-shifted — e.g. one :func:`solve.sample_noise_flat` draw,
+    transposed to (D, K_pad) float32).  The kernel then does no sampling work
+    at all; each (plant, K-block) grid cell reads its (D, block_k) noise block
+    from HBM.  Rationale: ``rng_in_kernel`` regenerates identical bits *and*
+    re-runs the bits->normal map once per plant (N-fold redundant VPU work,
+    the dominant term of a small-problem solve — docs/DESIGN.md §5), while the
+    operand trades that for N·K·D·4B of HBM block reads.  Which side wins is
+    shape-dependent; measure with benchmarks/pallas_experiments.py before
+    routing.  This mode has no Mosaic-only primitives, so it also runs under
+    CPU interpret for parity tests.
     """
+    if noise_operand and not rng_in_kernel:
+        raise ValueError("noise_operand and rng_in_kernel=False are "
+                         "mutually exclusive sampling modes")
+    if noise_operand:
+        rng_in_kernel = False  # no in-kernel PRNG primitives
     K, T, nx, nu = config.K, config.T, config.nx, config.nu
     N = int(num_envs)
     D = T * nu
@@ -1060,9 +1079,14 @@ def make_transposed_batched_solve(
             )
 
         # noise seeded by BLOCK index only -> bit-identical across plants,
-        # the reference's shared-noise semantics (mppi.py:837-838)
-        noise = _tp_draw_noise(lead_ref, i, D, bh, block_k, rng_in_kernel,
-                               antithetic, op_ref, mu_ref, diag_fast, dtype)
+        # the reference's shared-noise semantics (mppi.py:837-838); in
+        # operand mode the final noise block is read instead of regenerated
+        if noise_operand:
+            noise = lead_ref[...]  # (D, block_k) final shared noise
+        else:
+            noise = _tp_draw_noise(lead_ref, i, D, bh, block_k, rng_in_kernel,
+                                   antithetic, op_ref, mu_ref, diag_fast,
+                                   dtype)
         U_col = col(U_ref, D)  # (D, 1): this plant's nominal sequence
         perturbed = jnp.clip(U_col + noise, lo_ref[...], hi_ref[...])
         noise = perturbed - U_col
@@ -1099,12 +1123,16 @@ def make_transposed_batched_solve(
                 lane2 == n, jnp.broadcast_to(ms_col, (2, N)), ms_ref[...]
             )
 
-    lead_spec = (
-        pl.BlockSpec(memory_space=pltpu.SMEM)
-        if rng_in_kernel
-        else pl.BlockSpec((D, bh), lambda n, i: (0, i),
-                          memory_space=pltpu.VMEM)
-    )
+    if rng_in_kernel:
+        lead_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    elif noise_operand:
+        # full (D, block_k) FINAL-noise block per grid cell; index depends
+        # on the K-block only, so the same block serves every plant
+        lead_spec = pl.BlockSpec((D, block_k), lambda n, i: (0, i),
+                                 memory_space=pltpu.VMEM)
+    else:
+        lead_spec = pl.BlockSpec((D, bh), lambda n, i: (0, i),
+                                 memory_space=pltpu.VMEM)
     op_is_diag = diag_fast
     fused = pl.pallas_call(
         kernel,
@@ -1161,6 +1189,7 @@ def make_transposed_batched_solve(
     solve.nblocks = nblocks
     solve.K_pad = K_pad
     solve.block_k = block_k
+    solve.noise_operand = noise_operand
     return solve
 
 

@@ -1412,6 +1412,7 @@ def make_batched_step(
     env_axis: str = "data",
     sample_axis: Optional[str] = None,
     use_pallas: bool = False,
+    transposed_solve_override=None,
 ):
     """N parallel plants sharing one dynamics/cost call per step.
 
@@ -1428,6 +1429,12 @@ def make_batched_step(
     N sharded over ``env_axis`` the solve is embarrassingly parallel (SURVEY.md §3.4);
     optionally K also shards over ``sample_axis`` (pod-scale config: 1024 plants x
     K=16k), in which case XLA inserts the per-plant min/sum reductions over ICI.
+
+    ``transposed_solve_override`` injects a pre-built batched fused kernel
+    (pallas_rollout.make_transposed_batched_solve) in place of the
+    ``use_pallas`` route — the hook tests and benchmarks use to drive both
+    sampling modes (in-kernel regeneration vs noise-as-operand) through the
+    identical iteration plumbing.
     """
     if config.num_iterations < 1:
         raise ValueError(
@@ -1442,7 +1449,7 @@ def make_batched_step(
 
     D = T * nu
 
-    transposed_solve = None
+    transposed_solve = transposed_solve_override
     if config.sample_null_action:
         # parity with the reference: MPPI_Batched has no null-action/sampler
         # hooks (mppi.py:691-873); neither the XLA nor the fused batched path
@@ -1460,7 +1467,7 @@ def make_batched_step(
             "(full artifact surface)"
         )
         use_pallas = False
-    if use_pallas:
+    if use_pallas and transposed_solve is None:
         from . import pallas_rollout as PR
 
         if mesh is not None and kax is not None:
@@ -1500,9 +1507,12 @@ def make_batched_step(
             )
 
     def _one_iteration_fused(params, U, x0, k_noise):
-        """The whole N-plant iteration as one (N, K-blocks)-grid kernel: the
-        shared noise is regenerated per plant from block-indexed hardware
-        seeds, and the (N, K, T·nu) perturbed tensor never exists in HBM."""
+        """The whole N-plant iteration as one (N, K-blocks)-grid kernel.
+        Two sampling modes (pallas_rollout.make_transposed_batched_solve):
+        in-kernel regeneration of the shared noise from block-indexed
+        hardware seeds (default), or one XLA draw passed as a (D, K_pad)
+        operand (``solve.noise_operand``).  Either way the (N, K, T·nu)
+        perturbed tensor never exists in HBM."""
         from . import pallas_rollout as PR
 
         sigma_inv, op, mu_t, lo2, hi2 = _transposed_operands(
@@ -1510,9 +1520,20 @@ def make_batched_step(
             config, T, nu, dtype,
         )
         a2 = (params.lambda_ * jnp.einsum("ntu,vu->ntv", U, sigma_inv)).reshape(N, D)
-        seed = PR.key_to_seed(k_noise)
+        if getattr(transposed_solve, "noise_operand", False):
+            chol, _ = _sigma_factors(params.noise_sigma, diag=config.diag_sigma)
+            noise2 = sample_noise_flat(
+                k_noise, K, T, params, dtype, antithetic=config.antithetic,
+                chol=chol, noise_rho=config.noise_rho,
+                diag_sigma=config.diag_sigma,
+            )  # (K, D), the ONE shared draw (mppi.py:837-838)
+            lead = jnp.pad(
+                noise2, ((0, transposed_solve.K_pad - K), (0, 0))
+            ).T  # (D, K_pad); phantom rows are +inf-masked in the kernel
+        else:
+            lead = PR.key_to_seed(k_noise)
         delta, ms, cost_total = transposed_solve(
-            seed, x0.T, U.reshape(N, D).T, op, mu_t, lo2, hi2, a2.T,
+            lead, x0.T, U.reshape(N, D).T, op, mu_t, lo2, hi2, a2.T,
             params.lambda_,
         )
         m, s = ms[0], ms[1]  # (N,), (N,)

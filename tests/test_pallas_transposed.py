@@ -414,6 +414,97 @@ class TestTransposedSolve:
         # per-plant normalizers are all positive and distinct
         assert (np.asarray(ms[1]) > 0).all()
 
+    def test_batched_noise_operand_matches_bits_mode(self):
+        """The noise-operand sampling mode (one XLA draw passed as a
+        (D, K_pad) operand, no in-kernel sampling work) must be bit-identical
+        to the bits-injection mode fed the same underlying draw — every step
+        after the draw (clip, rollout, flash-softmax, update) is shared."""
+        N = 3
+        config = MPPIConfig(nx=NX, nu=NU, K=K, T=T, dtype=DT, diag_sigma=True)
+        bits = jax.random.randint(
+            jax.random.PRNGKey(3), (D, K), -(2**31), 2**31 - 1, jnp.int32)
+        wdyn = S.wrap_dynamics(config, lin_dyn)
+        wcost = S.wrap_cost(config, quad_cost)
+        solve_bits = PR.make_transposed_batched_solve(
+            config, N, wdyn, wcost, rng_in_kernel=False)
+        solve_op = PR.make_transposed_batched_solve(
+            config, N, wdyn, wcost, noise_operand=True)
+        assert solve_op.noise_operand and not solve_bits.noise_operand
+
+        U = jax.random.normal(jax.random.PRNGKey(5), (N, T, NU), DT) * 0.1
+        x0 = jnp.asarray([[-3.0, -2.0], [1.0, 1.0], [0.5, -0.5]], DT)
+        scale_t = jnp.full((D,), 0.8, DT)
+        mu_t = jnp.zeros((D,), DT)
+        lo_t = jnp.full((D,), -1.0, DT)
+        hi_t = jnp.full((D,), 1.0, DT)
+        lam = jnp.asarray(1.0, DT)
+        sigma_inv = jnp.eye(NU, dtype=DT) / 0.64
+        a2 = (lam * jnp.einsum("ntu,vu->ntv", U, sigma_inv)).reshape(N, D)
+        args = (x0.T, U.reshape(N, D).T, scale_t, mu_t, lo_t, hi_t, a2.T, lam)
+
+        delta_b, ms_b, ct_b = jax.jit(solve_bits)(bits, *args)
+        # the operand is the FINAL noise: the same draw pushed through the
+        # identical bits->normal map and diagonal correlation outside (jit
+        # fusion makes the multiply-add an FMA on one side, so last-ulp
+        # tolerances rather than bit equality)
+        noiseT = PR._bits_to_normal(bits) * scale_t[:, None] + mu_t[:, None]
+        delta_o, ms_o, ct_o = jax.jit(solve_op)(noiseT, *args)
+
+        np.testing.assert_allclose(np.asarray(ct_o), np.asarray(ct_b),
+                                   rtol=1e-5, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(delta_o), np.asarray(delta_b),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ms_o), np.asarray(ms_b),
+                                   rtol=1e-5, atol=0)
+
+        # the two flags are distinct sampling modes, not composable
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            PR.make_transposed_batched_solve(
+                config, N, wdyn, wcost, rng_in_kernel=False,
+                noise_operand=True)
+
+    def test_batched_noise_operand_through_controller_plumbing(self):
+        """solve.py's _one_iteration_fused honors a noise-operand override
+        kernel (the attribute-gated branch samples once with
+        sample_noise_flat and pads/transposes to (D, K_pad)): the full
+        batched step must match the XLA scan path given the same key — both
+        sample the IDENTICAL stream with sample_noise_flat, so only layout
+        (batch-last rollout, flash-softmax) separates them."""
+        N = 2
+        config = MPPIConfig(nx=NX, nu=NU, K=K, T=T, dtype=DT, diag_sigma=True)
+        from pytorch_mppi_tpu.config import MPPIParams
+        from pytorch_mppi_tpu.ops.solve import BatchedState, make_batched_step
+
+        params = MPPIParams(
+            noise_mu=jnp.zeros(NU, DT),
+            noise_sigma=jnp.eye(NU, dtype=DT) * 0.64,
+            lambda_=jnp.asarray(1.0, DT),
+            u_min=jnp.full((NU,), -1.0, DT),
+            u_max=jnp.full((NU,), 1.0, DT),
+            u_init=jnp.zeros(NU, DT),
+        )
+        wdyn = S.wrap_dynamics(config, lin_dyn)
+        wcost = S.wrap_cost(config, quad_cost)
+        solve_op = PR.make_transposed_batched_solve(
+            config, N, wdyn, wcost, noise_operand=True)
+        fns_xla = make_batched_step(config, N, lin_dyn, quad_cost, jit=False)
+        fns_op = make_batched_step(config, N, lin_dyn, quad_cost, jit=False,
+                                   transposed_solve_override=solve_op)
+
+        U0 = jax.random.normal(jax.random.PRNGKey(9), (N, T, NU), DT) * 0.1
+        state = BatchedState(U=U0, key=jax.random.PRNGKey(7))
+        x0 = jnp.asarray([[-3.0, -2.0], [1.0, 1.0]], DT)
+
+        s_x, a_x, art_x = fns_xla.step(params, state, x0)
+        s_o, a_o, art_o = fns_op.step(params, state, x0)
+        np.testing.assert_allclose(np.asarray(art_o.cost_total),
+                                   np.asarray(art_x.cost_total),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(s_o.U), np.asarray(s_x.U),
+                                   rtol=2e-4, atol=2e-6)
+        np.testing.assert_allclose(np.asarray(a_o), np.asarray(a_x),
+                                   rtol=2e-4, atol=2e-6)
+
     def test_batched_controller_falls_back_on_cpu(self):
         """MPPI_Batched(use_pallas=True) on CPU: bit-identical fallback."""
         from pytorch_mppi_tpu import MPPI_Batched
