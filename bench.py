@@ -16,7 +16,6 @@ machine's CPU at the same config (K=10k, T=30): 22.6 solves/s
 """
 import json
 import os
-import subprocess
 import sys
 import time
 
@@ -37,40 +36,21 @@ REPEATS = 7  # median over more repeats: the relay RTT jitters tens of ms
 DTYPE = jnp.float32
 
 
-def _probe_device_reachable(timeout_s=600):
-    """Bounded liveness check for the remote TPU relay.
-
-    On this setup the TPU is reached through a relay that can go down; when it
-    does, the first device operation (even ``jax.devices()``) blocks forever
-    rather than raising.  Probing in a subprocess with a hard timeout keeps the
-    benchmark bounded: a healthy relay completes the tiny fetch in ~2 min
-    (fresh dial), a dead one trips the timeout and we fall back to the host
-    CPU so the driver still records an (honestly labeled) measurement.
-    """
-    code = (
-        "import jax, numpy as np; "
-        "print(np.asarray(jax.numpy.ones((8, 128)).sum()))"
-    )
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", code],
-            timeout=timeout_s,
-            capture_output=True,
-        )
-        return proc.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
-
-
 def main():
+    # bounded relay-liveness probe: a dead relay blocks the first device op
+    # forever; falling back to CPU keeps the benchmark bounded and the
+    # driver's record honest (probe cause — timeout vs fast failure — is
+    # reported by the helper; MPPI_SKIP_RELAY_PROBE=1 skips it)
+    from pytorch_mppi_tpu.utils.timer import probe_device_reachable
+
     note = None
     if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu") and not (
-        _probe_device_reachable()
+        probe_device_reachable()
     ):
         # backend resolution is lazy, so flipping the platform after import
         # (but before the first device op) is still effective
         jax.config.update("jax_platforms", "cpu")
-        note = "accelerator unreachable (relay probe timed out); CPU fallback"
+        note = "accelerator unreachable (probe failed or timed out); CPU fallback"
         print(f"# WARNING: {note}", file=sys.stderr)
 
     dev = jax.devices()[0]

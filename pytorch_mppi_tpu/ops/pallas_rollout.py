@@ -1028,9 +1028,10 @@ def make_transposed_batched_solve(
     re-runs the bits->normal map once per plant (N-fold redundant VPU work,
     the dominant term of a small-problem solve — docs/DESIGN.md §5), while the
     operand trades that for N·K·D·4B of HBM block reads.  Which side wins is
-    shape-dependent; measure with benchmarks/pallas_experiments.py before
-    routing.  This mode has no Mosaic-only primitives, so it also runs under
-    CPU interpret for parity tests.
+    shape-dependent; measure with benchmarks/batched_modes.py (all three
+    sampling modes through identical step plumbing) before routing.  This
+    mode has no Mosaic-only primitives, so it also runs under CPU interpret
+    for parity tests.
     """
     if noise_operand and not rng_in_kernel:
         raise ValueError("noise_operand and rng_in_kernel=False are "

@@ -1449,6 +1449,16 @@ def make_batched_step(
 
     D = T * nu
 
+    if transposed_solve_override is not None and (
+        config.fused_artifacts or mesh is not None
+    ):
+        # the override hook bypasses the use_pallas route's guards; fail loud
+        # rather than silently dropping requested artifacts or sharding
+        raise ValueError(
+            "transposed_solve_override is incompatible with fused_artifacts "
+            "and with meshed (sharded) batched steps — the injected kernel "
+            "bypasses the guards the use_pallas route applies"
+        )
     transposed_solve = transposed_solve_override
     if config.sample_null_action:
         # parity with the reference: MPPI_Batched has no null-action/sampler

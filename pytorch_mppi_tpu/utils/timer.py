@@ -114,3 +114,51 @@ def trace(log_dir: str = "/tmp/jax-trace"):
         yield log_dir
     finally:
         jax.profiler.stop_trace()
+
+
+def probe_device_reachable(timeout_s: float = 600, logger=None) -> bool:
+    """Bounded liveness check for a remote accelerator (relay-attached TPU).
+
+    When the relay is down, the first device operation — even
+    ``jax.devices()`` — blocks forever rather than raising, so anything that
+    must stay bounded (benchmarks, test-lane runners) probes in a subprocess
+    under a hard timeout first.  A healthy relay completes the tiny fetch in
+    ~2 min (a fresh dial per interpreter start); set
+    ``MPPI_SKIP_RELAY_PROBE=1`` to skip the probe on known-healthy setups.
+    Distinguishes and reports (via ``logger`` or stderr) a timeout from a
+    fast failure (connection refused, plugin error), surfacing the
+    subprocess's stderr tail for the latter.
+    """
+    import os
+    import subprocess
+    import sys
+
+    if os.environ.get("MPPI_SKIP_RELAY_PROBE", "") == "1":
+        return True
+
+    def _report(msg):
+        if logger is not None:
+            logger.warning(msg)
+        else:
+            print(f"# WARNING: {msg}", file=sys.stderr)
+
+    code = (
+        "import jax, numpy as np; "
+        "print(np.asarray(jax.numpy.ones((8, 128)).sum()))"
+    )
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", code],
+            timeout=timeout_s,
+            capture_output=True,
+            text=True,
+        )
+    except subprocess.TimeoutExpired:
+        _report(f"device probe timed out after {timeout_s:.0f}s "
+                "(relay hung; it dials in ~2 min when healthy)")
+        return False
+    if proc.returncode != 0:
+        tail = "\n".join((proc.stderr or "").strip().splitlines()[-3:])
+        _report(f"device probe failed fast (rc={proc.returncode}): {tail}")
+        return False
+    return True

@@ -505,6 +505,18 @@ class TestTransposedSolve:
         np.testing.assert_allclose(np.asarray(a_o), np.asarray(a_x),
                                    rtol=2e-4, atol=2e-6)
 
+    def test_batched_override_rejects_guarded_configs(self):
+        """The override hook bypasses the use_pallas route's guards, so
+        configs those guards protect (fused_artifacts, meshed steps) must
+        fail loud instead of silently dropping artifacts/sharding."""
+        from pytorch_mppi_tpu.ops.solve import make_batched_step
+
+        config = MPPIConfig(nx=NX, nu=NU, K=K, T=T, dtype=DT,
+                            diag_sigma=True, fused_artifacts=True)
+        with pytest.raises(ValueError, match="transposed_solve_override"):
+            make_batched_step(config, 2, lin_dyn, quad_cost,
+                              transposed_solve_override=object())
+
     def test_batched_controller_falls_back_on_cpu(self):
         """MPPI_Batched(use_pallas=True) on CPU: bit-identical fallback."""
         from pytorch_mppi_tpu import MPPI_Batched

@@ -19,27 +19,11 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def _probe_device_reachable(timeout_s=600):
-    """Bounded liveness check for the remote TPU relay (see bench.py).
+sys.path.insert(0, REPO)
 
-    When the relay is down, any device op — including the lane's own
-    TPU-detection in tpu_tests/conftest.py — blocks forever instead of
-    raising, so the lane can neither run nor self-skip.  Probing first in a
-    subprocess under a hard timeout keeps this runner bounded.
-    """
-    code = (
-        "import jax, numpy as np; "
-        "print(np.asarray(jax.numpy.ones((8, 128)).sum()))"
-    )
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", code],
-            timeout=timeout_s,
-            capture_output=True,
-        )
-        return proc.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+# shared bounded liveness probe (a dead relay blocks even the lane's own
+# TPU-detection in tpu_tests/conftest.py, so it can neither run nor self-skip)
+from pytorch_mppi_tpu.utils.timer import probe_device_reachable  # noqa: E402
 
 
 def _write(out_path, result):
@@ -54,7 +38,7 @@ def main():
     args = ap.parse_args()
 
     if os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu") and not (
-        _probe_device_reachable()
+        probe_device_reachable()
     ):
         # environmental, like the no-TPU self-skip: record it and exit clean,
         # preserving the last successful run's counts as evidence
@@ -68,6 +52,10 @@ def main():
         try:
             with open(args.out) as f:
                 prev = json.load(f)
+            if prev.get("outcome") == "unreachable":
+                # consecutive unreachable runs: carry the original
+                # successful counts forward, don't bury them
+                prev = prev.get("previous", {})
             result["previous"] = {
                 k: prev[k] for k in
                 ("outcome", "passed", "failed", "skipped", "duration_s")
