@@ -1007,6 +1007,7 @@ class MPPI_Batched:
             dtype=self.dtype,
         )
         self.terminal_state_cost = terminal_state_cost
+        self.running_cost = running_cost
         self._fns = _solve.make_batched_step(
             self.config, self.N, dynamics, running_cost,
             terminal_state_cost=terminal_state_cost,

@@ -31,17 +31,23 @@ def run_mppi_jit(mppi, plant_dynamics, x0, steps: int, running_cost=None):
     applied to the plant sequentially (reference mppi.py:271-275 semantics);
     ``steps`` counts *plant* steps and must be a multiple of ``u_per_command``.
 
-    :param mppi: a controller built by this package (MPPI/SMPPI/KMPPI)
+    :param mppi: a controller built by this package (MPPI/SMPPI/KMPPI, or
+        MPPI_Batched — the N-plant scenario batch runs the whole closed loop
+        in one dispatch too, with per-plant cost accumulation)
     :param plant_dynamics: traceable fn(state (nx,), action (nu,)) -> next state;
-        may differ from the controller's model (model-mismatch experiments)
-    :param x0: (nx,) initial plant state
+        for a batched controller, fn((N, nx), (N, nu)) -> (N, nx) — any
+        batch-capable dynamics (including the controller's own) qualifies.
+        May differ from the controller's model (model-mismatch experiments)
+    :param x0: (nx,) initial plant state — (N, nx) for a batched controller
     :param steps: number of plant steps
     :param running_cost: optional traceable fn(state, action) -> cost accumulated
         along the executed trajectory.  Defaults to the controller's running
         cost; for ``step_dependent_dynamics`` controllers the default receives
         the action's index within its solve block as the time argument.
     :returns: (states (steps+1, nx), actions (steps, nu), total_cost scalar);
-        the controller's internal state is advanced to the end of the run.
+        batched: (states (steps+1, N, nx), actions (steps, N, nu),
+        total_cost (N,)).  The controller's internal state is advanced to the
+        end of the run.
     """
     upc = int(mppi.u_per_command)
     if steps % upc != 0:
@@ -62,6 +68,9 @@ def run_mppi_jit(mppi, plant_dynamics, x0, steps: int, running_cost=None):
     fns = mppi._fns
     params = mppi._full_params() if hasattr(mppi, "_full_params") else mppi._params
     dtype = mppi.dtype
+    from .ops.solve import BatchedState
+
+    batched = isinstance(mppi._state, BatchedState)
 
     # cache the jitted loop per (plant, cost, steps, solver bundle) so repeated
     # episodes do not retrace the steps-length scan every call; the dynamics
@@ -73,32 +82,70 @@ def run_mppi_jit(mppi, plant_dynamics, x0, steps: int, running_cost=None):
     loop = cache.get(cache_key)
     if loop is None:
         nu = mppi.nu
+        if batched:
+            N = mppi.N
 
-        @jax.jit
-        def loop(params, cstate, x, dyn_params):
-            def body(carry, _):
-                cstate, x, acc = carry
-                cstate, a, _ = fns.step(params, cstate, x, None, dyn_params)
-                a_block = a.reshape(upc, nu)
+            @jax.jit
+            def loop(params, cstate, x, dyn_params):
+                def body(carry, _):
+                    cstate, x, acc = carry
+                    cstate, a, _ = fns.step(params, cstate, x, dyn_params)
+                    # (N, upc, nu) -> block-major so the plant applies one
+                    # (N, nu) action row per plant step
+                    a_block = jnp.moveaxis(a.reshape(N, upc, nu), 1, 0)
 
-                def apply_one(inner, inp):
-                    x, acc = inner
-                    a_j, j = inp
-                    x_next = plant_dynamics(x, a_j)
-                    # post-dynamics cost convention, matching the controller's
-                    # objective (see MPPI docstring / reference mppi.py:314-318)
-                    acc = acc + _rc(x_next[None], a_j[None], j)[0]
-                    return (x_next, acc), (x_next, a_j)
+                    def apply_one(inner, inp):
+                        x, acc = inner
+                        a_j, j = inp
+                        x_next = plant_dynamics(x, a_j)
+                        acc = acc + _rc(x_next, a_j, j)
+                        return (x_next, acc), (x_next, a_j)
 
-                (x, acc), (xs, actions) = jax.lax.scan(
-                    apply_one, (x, acc), (a_block, jnp.arange(upc))
+                    (x, acc), (xs, actions) = jax.lax.scan(
+                        apply_one, (x, acc), (a_block, jnp.arange(upc))
+                    )
+                    return (cstate, x, acc), (xs, actions)
+
+                (cstate, x, acc), (xs, actions) = jax.lax.scan(
+                    body, (cstate, x, jnp.zeros((N,), dtype)), None,
+                    length=n_solves,
                 )
-                return (cstate, x, acc), (xs, actions)
+                return (
+                    cstate,
+                    xs.reshape(steps, N, -1),
+                    actions.reshape(steps, N, nu),
+                    acc,
+                )
 
-            (cstate, x, acc), (xs, actions) = jax.lax.scan(
-                body, (cstate, x, jnp.asarray(0.0, dtype)), None, length=n_solves
-            )
-            return cstate, xs.reshape(steps, -1), actions.reshape(steps, nu), acc
+        else:
+
+            @jax.jit
+            def loop(params, cstate, x, dyn_params):
+                def body(carry, _):
+                    cstate, x, acc = carry
+                    cstate, a, _ = fns.step(params, cstate, x, None, dyn_params)
+                    a_block = a.reshape(upc, nu)
+
+                    def apply_one(inner, inp):
+                        x, acc = inner
+                        a_j, j = inp
+                        x_next = plant_dynamics(x, a_j)
+                        # post-dynamics cost convention, matching the
+                        # controller's objective (see MPPI docstring /
+                        # reference mppi.py:314-318)
+                        acc = acc + _rc(x_next[None], a_j[None], j)[0]
+                        return (x_next, acc), (x_next, a_j)
+
+                    (x, acc), (xs, actions) = jax.lax.scan(
+                        apply_one, (x, acc), (a_block, jnp.arange(upc))
+                    )
+                    return (cstate, x, acc), (xs, actions)
+
+                (cstate, x, acc), (xs, actions) = jax.lax.scan(
+                    body, (cstate, x, jnp.asarray(0.0, dtype)), None,
+                    length=n_solves,
+                )
+                return cstate, xs.reshape(steps, -1), actions.reshape(steps, nu), acc
 
         cache[cache_key] = loop
 

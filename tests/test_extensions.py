@@ -639,6 +639,48 @@ class TestRunMppiJit:
                                    rtol=1e-12, atol=1e-12)
         np.testing.assert_allclose(float(total), eager_total, rtol=1e-9)
 
+    def test_batched_controller_whole_loop(self):
+        """run_mppi_jit drives an MPPI_Batched scenario batch: N plants, one
+        device dispatch for the whole closed loop, per-plant cost
+        accumulation, u_per_command blocks applied row-per-plant — matching
+        the eager command() loop to numerical identity."""
+        from pytorch_mppi_tpu import MPPI_Batched, run_mppi_jit
+
+        N = 3
+
+        def build():
+            return MPPI_Batched(
+                linear_dynamics, quadratic_cost, 2, jnp.eye(2, dtype=DTYPE),
+                num_envs=N, num_samples=32, horizon=8, lambda_=1.0,
+                seed=SEED, u_per_command=2)
+
+        ctrl = build()
+        x0 = jnp.asarray([[-2.0, 1.0], [0.5, -0.5], [1.0, 1.0]], DTYPE)
+        states, actions, total = run_mppi_jit(ctrl, linear_dynamics, x0,
+                                              steps=4)
+        assert states.shape == (5, N, 2)
+        assert actions.shape == (4, N, 2)
+        assert total.shape == (N,)
+
+        # eager loop with identical seeding: command() returns (N, upc, nu)
+        ctrl2 = build()
+        x = x0
+        eager_total = np.zeros(N)
+        eager_actions = []
+        for _ in range(2):
+            block = ctrl2.command(x)
+            for j in range(2):
+                a_j = block[:, j]
+                x = linear_dynamics(x, a_j)
+                eager_total += np.asarray(quadratic_cost(x, a_j))
+                eager_actions.append(np.asarray(a_j))
+        np.testing.assert_allclose(np.asarray(actions),
+                                   np.asarray(eager_actions),
+                                   rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(states[-1]), np.asarray(x),
+                                   rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(total), eager_total, rtol=1e-9)
+
     def test_dynamics_params_swap_takes_effect(self):
         """Swapping mppi.dynamics_params between episodes must be honored by
         the cached jitted loop (params are traced, not closure constants)."""
