@@ -42,6 +42,9 @@ def main(argv=None):
                    help="fused (N, K-blocks)-grid kernel (TPU; K>=2048 to win)")
     p.add_argument("--pod-scale", action="store_true",
                    help="north-star shape: N=1024, K=16384, T=30 (TPU HBM)")
+    p.add_argument("--jit-loop", action="store_true",
+                   help="run the WHOLE closed loop as one device dispatch "
+                        "(run_mppi_jit): no host round trip per step")
     args = p.parse_args(argv)
 
     if args.mesh and "jax" not in sys.modules:
@@ -94,16 +97,29 @@ def main(argv=None):
     states = jax.random.uniform(key, (N, 2), DT, -4.0, 0.0)
 
     t0 = time.perf_counter()
-    for step in range(args.steps):
-        actions = ctrl.command(states)          # (N, nu)
-        states = dynamics(states, actions)      # advance every plant
-        if step % 5 == 0 or step == args.steps - 1:
-            dist = jnp.linalg.norm(goal[None] - states, axis=-1)
-            logger.info(
-                "step %2d  mean|median|max distance to goal: "
-                "%.3f | %.3f | %.3f", step,
-                float(dist.mean()), float(jnp.median(dist)), float(dist.max()),
-            )
+    if args.jit_loop:
+        # the whole N-plant experiment in ONE dispatch (run_mppi_jit's
+        # batched branch): the host pays a single round trip instead of one
+        # per control step — the difference is the entire relay/PCIe latency
+        from pytorch_mppi_tpu import run_mppi_jit
+
+        traj, _, per_plant_cost = run_mppi_jit(ctrl, dynamics, states,
+                                               steps=args.steps)
+        states = traj[-1]
+        logger.info("per-plant accumulated cost: mean %.2f, max %.2f",
+                    float(per_plant_cost.mean()), float(per_plant_cost.max()))
+    else:
+        for step in range(args.steps):
+            actions = ctrl.command(states)          # (N, nu)
+            states = dynamics(states, actions)      # advance every plant
+            if step % 5 == 0 or step == args.steps - 1:
+                dist = jnp.linalg.norm(goal[None] - states, axis=-1)
+                logger.info(
+                    "step %2d  mean|median|max distance to goal: "
+                    "%.3f | %.3f | %.3f", step,
+                    float(dist.mean()), float(jnp.median(dist)),
+                    float(dist.max()),
+                )
     states.block_until_ready()
     wall = time.perf_counter() - t0
 

@@ -50,6 +50,18 @@ class TestScenarioBatch:
         c1, _ = scenario_batch.main(args + ["--mesh"])
         assert c0 == c1
 
+    def test_jit_loop_matches_eager(self):
+        """--jit-loop (one run_mppi_jit dispatch for the whole scenario) must
+        reach the same convergence count as the eager per-step loop — the
+        same solver bundle and key stream drive both."""
+        import scenario_batch
+
+        args = ["--plants", "8", "--samples", "128", "--horizon", "8",
+                "--steps", "20"]
+        c0, _ = scenario_batch.main(args)
+        c1, _ = scenario_batch.main(args + ["--jit-loop"])
+        assert c0 == c1
+
 
 class TestAutoTuneExample:
     def test_fast_run_all_five_sections(self, capsys):
