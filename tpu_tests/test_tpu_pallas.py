@@ -237,6 +237,74 @@ class TestCompiledKernels:
         a = np.asarray(ctrl2.command(same))
         np.testing.assert_array_equal(a[0], a[1])
 
+    def test_batched_noise_operand_compiled(self):
+        """The noise-operand batched kernel compiled under Mosaic: fed the
+        SAME underlying draw as the bits-injection kernel, every post-draw
+        step is shared, so the outputs must agree to last-ulp f32; and the
+        controller-plumbing override converges in closed loop with the XLA
+        rbg draw feeding the kernel."""
+        from pytorch_mppi_tpu.ops.solve import (BatchedState,
+                                                make_batched_step)
+
+        N, K, T, NU = 3, 256, 6, 2
+        D = T * NU
+        config = MPPIConfig(nx=2, nu=NU, K=K, T=T, dtype=DT, diag_sigma=True)
+        wdyn = S.wrap_dynamics(config, dyn)
+        wcost = S.wrap_cost(config, cost)
+        solve_bits = jax.jit(PR.make_transposed_batched_solve(
+            config, N, wdyn, wcost, rng_in_kernel=False))
+        solve_op_kernel = PR.make_transposed_batched_solve(
+            config, N, wdyn, wcost, noise_operand=True)
+        solve_op = jax.jit(solve_op_kernel)
+
+        bits = jax.random.randint(
+            jax.random.PRNGKey(3), (D, K), -(2**31), 2**31 - 1, jnp.int32)
+        U = jax.random.normal(jax.random.PRNGKey(5), (N, T, NU), DT) * 0.1
+        x0 = jnp.asarray([[-3.0, -2.0], [1.0, 1.0], [0.5, -0.5]], DT)
+        scale_t = jnp.full((D,), 0.8, DT)
+        mu_t = jnp.zeros((D,), DT)
+        ones = jnp.ones((D,), DT)
+        lam = jnp.asarray(1.0, DT)
+        a2 = (lam * U.reshape(N, D) / 0.64)
+        args = (x0.T, U.reshape(N, D).T, scale_t, mu_t, -ones, ones, a2.T,
+                lam)
+
+        delta_b, ms_b, ct_b = solve_bits(bits, *args)
+        noiseT = PR._bits_to_normal(bits, use_pltpu=False) * scale_t[:, None]
+        delta_o, ms_o, ct_o = solve_op(noiseT, *args)
+        # the bits->normal map runs under Mosaic on one side and XLA on the
+        # other; the established on-chip band for that split is ~2e-4
+        # (test_transposed_solve_pregen_bits_compiled)
+        np.testing.assert_allclose(np.asarray(ct_o), np.asarray(ct_b),
+                                   rtol=2e-4, atol=2e-3)
+        np.testing.assert_allclose(np.asarray(delta_o), np.asarray(delta_b),
+                                   rtol=2e-3, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(ms_o), np.asarray(ms_b),
+                                   rtol=2e-4, atol=0)
+
+        # end-to-end through the step plumbing: XLA rbg draw -> kernel
+        from pytorch_mppi_tpu.config import MPPIParams
+
+        params = MPPIParams(
+            noise_mu=mu_t[:NU], noise_sigma=jnp.eye(NU, dtype=DT) * 0.64,
+            lambda_=lam, u_min=-ones[:NU], u_max=ones[:NU],
+            u_init=jnp.zeros(NU, DT))
+        fns = make_batched_step(config, N, dyn, cost,
+                                transposed_solve_override=solve_op_kernel)
+        key = jax.random.key(3, impl="rbg")
+        state = BatchedState(
+            U=S.sample_noise(key, (N, T), params, DT), key=key)
+        x = x0
+        d0 = jnp.linalg.norm(x - GOAL, axis=-1)
+        for _ in range(12):
+            state, a, art = fns.step(params, state, x)
+            x = dyn(x, a)
+        d1 = jnp.linalg.norm(x - GOAL, axis=-1)
+        assert (np.asarray(d1) < np.asarray(d0)).all()
+        assert float(jnp.max(d1)) < 1.5
+        np.testing.assert_allclose(np.asarray(art.omega.sum(axis=1)),
+                                   np.ones(N), rtol=1e-4)
+
     def test_sharded_fused_solve_one_device_mesh(self):
         """use_pallas + mesh: the K-sharded fused path (per-shard kernels +
         pmax/psum flash-stat collectives) compiled on a 1-device 'k' mesh —
