@@ -592,7 +592,8 @@ def make_sharded_kmppi_solve(config, dynamics, running_cost, mesh,
 
 def make_sharded_batched_solve(config, num_envs, dynamics, running_cost,
                                mesh, env_axis: str = "data",
-                               rng_in_kernel: bool = True):
+                               rng_in_kernel: bool = True,
+                               noise_operand: bool = False):
     """The batched (N-plant) fused kernel under ``shard_map`` with plants
     sharded over ``env_axis`` — the pod-scale scenario layout (SURVEY.md
     §3.4).  Unlike the K-sharded solve this needs ZERO collectives: each
@@ -614,9 +615,14 @@ def make_sharded_batched_solve(config, num_envs, dynamics, running_cost,
         )
     N_local = num_envs // nshards
     local_solve = PR.make_transposed_batched_solve(
-        config, N_local, dynamics, running_cost, rng_in_kernel=rng_in_kernel
+        config, N_local, dynamics, running_cost, rng_in_kernel=rng_in_kernel,
+        noise_operand=noise_operand,
     )
 
+    # the lead operand is replicated across env shards in every sampling
+    # mode: an SMEM seed (kernel rng), injected bits, or the one shared
+    # (D, K_pad) noise draw (noise_operand) — shared-noise semantics
+    # (mppi.py:837-838) hold globally either way
     sharded = jax.shard_map(
         local_solve, mesh=mesh,
         in_specs=(P(), P(None, env_axis), P(None, env_axis), P(), P(), P(),
@@ -635,6 +641,13 @@ def make_sharded_batched_solve(config, num_envs, dynamics, running_cost,
             jnp.asarray(lambda_, dt),
         )
 
+    # forward the per-shard kernel's grid/padding/mode so callers (the
+    # _one_iteration_fused operand branch pads noise to K_pad) need not
+    # re-derive them
+    solve.nblocks = local_solve.nblocks
+    solve.K_pad = local_solve.K_pad
+    solve.block_k = local_solve.block_k
+    solve.noise_operand = local_solve.noise_operand
     return solve
 
 

@@ -779,6 +779,46 @@ class TestTransposedSolve:
             np.asarray(d_s / ms_s[1][None]), np.asarray(d_1 / ms_1[1][None]),
             rtol=1e-4, atol=1e-6)
 
+    def test_sharded_batched_noise_operand_matches_unsharded(self):
+        """Env-sharded batched solve in noise-operand mode: the one shared
+        (D, K_pad) draw is replicated across shards, so outputs must be
+        BIT-identical to the single-device operand kernel (identical inputs
+        and identical per-shard kernel code — only the shard_map wrapper
+        differs)."""
+        import jax
+
+        from pytorch_mppi_tpu.parallel import make_mesh
+
+        if jax.device_count() < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = make_mesh((8,), ("data",))
+        N = 16
+        config = MPPIConfig(nx=NX, nu=NU, K=K, T=T, dtype=DT, diag_sigma=True)
+        noiseT = jax.random.normal(jax.random.PRNGKey(3), (D, K), DT) * 0.8
+        U = jax.random.normal(jax.random.PRNGKey(5), (N, T, NU), DT) * 0.1
+        x0 = jax.random.uniform(jax.random.PRNGKey(6), (N, NX), DT, -2.0, 2.0)
+        ones = jnp.ones((D,), DT)
+        lam = jnp.asarray(1.0, DT)
+        a2 = (lam * U / 0.64).reshape(N, D)
+        wdyn = S.wrap_dynamics(config, lin_dyn)
+        wcost = S.wrap_cost(config, quad_cost)
+
+        sh = S.make_sharded_batched_solve(config, N, wdyn, wcost, mesh,
+                                          "data", noise_operand=True)
+        assert sh.noise_operand and sh.K_pad == K
+        d_s, ms_s, ct_s = jax.jit(sh)(
+            noiseT, x0.T, U.reshape(N, D).T, 0.8 * ones, 0 * ones, -ones,
+            ones, a2.T, lam)
+
+        un = PR.make_transposed_batched_solve(config, N, wdyn, wcost,
+                                              noise_operand=True)
+        d_1, ms_1, ct_1 = jax.jit(un)(
+            noiseT, x0.T, U.reshape(N, D).T, 0.8 * ones, 0 * ones, -ones,
+            ones, a2.T, lam)
+        np.testing.assert_array_equal(np.asarray(ct_s), np.asarray(ct_1))
+        np.testing.assert_array_equal(np.asarray(d_s), np.asarray(d_1))
+        np.testing.assert_array_equal(np.asarray(ms_s), np.asarray(ms_1))
+
     def test_padded_k(self):
         """K not a multiple of the 128-lane block: phantom rows must carry
         zero weight."""
