@@ -463,15 +463,19 @@ class TestTransposedSolve:
                 config, N, wdyn, wcost, rng_in_kernel=False,
                 noise_operand=True)
 
-    def test_batched_noise_operand_through_controller_plumbing(self):
+    @pytest.mark.parametrize("antithetic", [False, True])
+    def test_batched_noise_operand_through_controller_plumbing(self, antithetic):
         """solve.py's _one_iteration_fused honors a noise-operand override
         kernel (the attribute-gated branch samples once with
         sample_noise_flat and pads/transposes to (D, K_pad)): the full
         batched step must match the XLA scan path given the same key — both
         sample the IDENTICAL stream with sample_noise_flat, so only layout
-        (batch-last rollout, flash-softmax) separates them."""
+        (batch-last rollout, flash-softmax) separates them.  With
+        ``antithetic`` the mirroring happens in that one shared draw (the
+        kernel's own in-block mirroring is bypassed in operand mode)."""
         N = 2
-        config = MPPIConfig(nx=NX, nu=NU, K=K, T=T, dtype=DT, diag_sigma=True)
+        config = MPPIConfig(nx=NX, nu=NU, K=K, T=T, dtype=DT, diag_sigma=True,
+                            antithetic=antithetic)
         from pytorch_mppi_tpu.config import MPPIParams
         from pytorch_mppi_tpu.ops.solve import BatchedState, make_batched_step
 
