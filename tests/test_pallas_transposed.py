@@ -914,3 +914,82 @@ class TestFuzzFused:
         np.testing.assert_allclose(float(s_k), float(s_m), rtol=1e-5)
         np.testing.assert_allclose(np.asarray(delta_k) / float(s_k),
                                    np.asarray(delta_m), rtol=2e-4, atol=2e-6)
+
+
+class TestFuzzBatched:
+    """Fuzz of the N-plant batched kernel: random dynamics/cost programs
+    through ``make_transposed_batched_solve`` (interpret mode, injected bits)
+    vs a per-plant plain-jnp mirror.  Exercises the batched kernel's own
+    machinery — per-plant column selection via one-hot lane masks, shared
+    noise across plants, per-plant flash-softmax, masked output
+    read-modify-write — under random (nx, nu) programs."""
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_random_dynamics_and_cost(self, seed):
+        from fuzz_programs import gen_program
+
+        rng = np.random.RandomState(3000 + seed)
+        nx = int(rng.randint(1, 5))
+        nu = int(rng.randint(1, 4))
+        core, _, _ = gen_program(rng, force_kind="dynamics", nx=nx, nu=nu,
+                                 dtype=DT)
+        cost_core, _, _ = gen_program(rng, force_kind="cost", nx=nx, nu=nu,
+                                      dtype=DT)
+
+        def dyn_f(s, a):
+            return s + 0.1 * jnp.tanh(core(s, a))
+
+        def cost_f(s, a):
+            return jnp.abs(cost_core(s, a)) + (s**2).sum(axis=-1)
+
+        N, Kf, Tf = 3, 256, 5
+        Df = Tf * nu
+        config = MPPIConfig(nx=nx, nu=nu, K=Kf, T=Tf, dtype=DT,
+                            diag_sigma=True)
+        wdyn = S.wrap_dynamics(config, dyn_f)
+        wcost = S.wrap_cost(config, cost_f)
+        try:
+            solve = PR.make_transposed_batched_solve(
+                config, N, wdyn, wcost, rng_in_kernel=False)
+        except UnsupportedPrimitive as e:  # pragma: no cover
+            pytest.fail(f"generator produced out-of-vocabulary program: {e}")
+
+        bits = jax.random.randint(
+            jax.random.PRNGKey(seed), (Df, Kf), -(2**31), 2**31 - 1,
+            jnp.int32)
+        U = jax.random.normal(jax.random.PRNGKey(seed + 50), (N, Tf, nu),
+                              DT) * 0.1
+        x0 = jnp.asarray(rng.randn(N, nx), DT)
+        scale_t = jnp.full((Df,), 0.6, DT)
+        mu_t = jnp.zeros((Df,), DT)
+        lo_t = jnp.full((Df,), -1.5, DT)
+        hi_t = jnp.full((Df,), 1.5, DT)
+        lam = jnp.asarray(1.0, DT)
+        a2 = (lam * U.reshape(N, Df) * 0.5)
+
+        delta_k, ms_k, ct_k = jax.jit(solve)(
+            bits, x0.T, U.reshape(N, Df).T, scale_t, mu_t, lo_t, hi_t,
+            a2.T, lam)
+
+        # per-plant plain-jnp mirror: ONE shared draw, per-plant clamp +
+        # rollout + softmax (reference mppi.py:837-868 semantics)
+        z = PR._bits_to_normal(bits)
+        noise_shared = z.T * scale_t[None]
+        U2 = U.reshape(N, Df)
+        pert = jnp.clip(U2[:, None] + noise_shared[None], lo_t, hi_t)
+        noise = pert - U2[:, None]
+        pc = jnp.einsum("nkd,nd->nk", noise, a2)
+        rcs = []
+        for n in range(N):
+            rc, _, _ = S.rollout_costs(config, wdyn, wcost, None, None,
+                                       None, x0[n],
+                                       pert[n].reshape(Kf, Tf, nu),
+                                       jax.random.PRNGKey(0))
+            rcs.append(rc)
+        ct_m = jnp.stack(rcs) + pc
+        _, om = S.compute_weighting(ct_m, lam, axis=1)
+        delta_m = jnp.einsum("nk,nkd->nd", om, noise)
+        np.testing.assert_allclose(np.asarray(ct_k), np.asarray(ct_m),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray((delta_k / ms_k[1][None]).T),
+                                   np.asarray(delta_m), rtol=2e-4, atol=2e-6)
