@@ -93,14 +93,14 @@ def measure(fns, config, N, steps, repeats=5, rtt=0.0):
     return wall / steps  # seconds per N-plant control step
 
 
-def main():
+def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--plants", type=int, default=64)
     ap.add_argument("--samples", type=int, default=1024)
     ap.add_argument("--horizon", type=int, default=30)
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--modes", default="xla,fused-rng,fused-operand")
-    args = ap.parse_args()
+    args = ap.parse_args(argv)
 
     on_tpu = jax.default_backend() == "tpu"
     print(f"# backend: {jax.default_backend()}, N={args.plants}, "
@@ -127,6 +127,7 @@ def main():
               f"({args.plants/per_step:.0f} plant-solves/s)", file=sys.stderr)
 
     print(json.dumps(results, default=float))
+    return results
 
 
 if __name__ == "__main__":
