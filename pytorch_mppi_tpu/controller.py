@@ -910,6 +910,14 @@ class MPPI_Batched:
     plant gets an independent softmax along K.  This is the scenario-batch entry
     point that scales across a TPU mesh — see
     :mod:`pytorch_mppi_tpu.parallel.sharded` for the pjit/shard_map version.
+
+    ``use_pallas=True`` routes eligible configs to the batched transposed
+    fused kernel in its measured-best sampling mode (*noise-operand*: one XLA
+    rbg draw of the shared (K, T·nu) noise fed as a VMEM block operand —
+    benchmarks/batched_modes.py, 1.2–2.1× over the alternatives at K ≥ 2048).
+    ``use_pallas="kernel_rng"`` selects the in-kernel regeneration mode
+    instead (noise never exists in HBM at all; slightly slower, kept for the
+    decision record — docs/BENCHMARKS.md).
     """
 
     def __init__(

@@ -1493,6 +1493,13 @@ def make_batched_step(
     if use_pallas and transposed_solve is None:
         from . import pallas_rollout as PR
 
+        # Sampling-mode default, pinned by the round-3 A/B
+        # (benchmarks/batched_modes.py, docs/BENCHMARKS.md): one XLA rbg draw
+        # fed as a VMEM operand beats N-fold in-kernel regeneration at EVERY
+        # measured shape (1.2-1.5x) — the shared (K, T*nu) noise is tiny next
+        # to the (N, K, T*nu) tensor both modes avoid.  use_pallas="kernel_rng"
+        # keeps the zero-HBM-noise mode selectable for the decision record.
+        noise_operand = use_pallas != "kernel_rng"
         if mesh is not None and kax is not None:
             logger.warning(
                 "use_pallas on MPPI_Batched with BOTH env and sample axes "
@@ -1501,12 +1508,14 @@ def make_batched_step(
             )
         elif mesh is not None:
             # plants sharded over env_axis: per-shard batched kernels, zero
-            # collectives (per-plant softmax is shard-local; shared noise
-            # holds globally via block-indexed seeding)
+            # collectives (per-plant softmax is shard-local; the shared noise
+            # operand — or block-indexed seeds in kernel_rng mode — is
+            # replicated across shards)
             transposed_solve = _route_transposed_solve(
                 config,
                 lambda: make_sharded_batched_solve(
-                    config, N, dyn, cost, mesh, env_axis
+                    config, N, dyn, cost, mesh, env_axis,
+                    noise_operand=noise_operand,
                 ),
                 terminal_state_cost, None, None, mesh, "MPPI_Batched",
                 sharded=True,
@@ -1516,16 +1525,19 @@ def make_batched_step(
         else:
             transposed_solve = _route_transposed_solve(
                 config,
-                lambda: PR.make_transposed_batched_solve(config, N, dyn, cost),
+                lambda: PR.make_transposed_batched_solve(
+                    config, N, dyn, cost, noise_operand=noise_operand
+                ),
                 terminal_state_cost, None, None, mesh, "MPPI_Batched",
             )
         if transposed_solve is not None and config.K < 2048:
-            # measured crossover (docs/DESIGN.md §6): per-plant noise
-            # regeneration beats the saved HBM traffic only at larger K
+            # measured crossover (docs/BENCHMARKS.md batched A/B): below
+            # K~2048 the XLA scan path wins even against the noise-operand
+            # mode (kernel grid overhead outweighs the saved HBM traffic)
             logger.warning(
                 "use_pallas on MPPI_Batched with K=%d: the fused kernel "
-                "measured faster only for K >= ~2048 (it regenerates the "
-                "shared noise per plant); the XLA path is likely faster here",
+                "measured faster only for K >= ~2048; the XLA path is "
+                "likely faster here",
                 config.K,
             )
 

@@ -534,6 +534,33 @@ class TestTransposedSolve:
             np.asarray(c_ref.command(states)), np.asarray(c_pal.command(states))
         )
 
+    @pytest.mark.parametrize("use_pallas,want_operand", [
+        (True, True), ("kernel_rng", False),
+    ])
+    def test_batched_routing_sampling_mode(self, monkeypatch, use_pallas,
+                                           want_operand):
+        """use_pallas=True routes the batched fused kernel to the
+        measured-best noise-operand sampling mode (round-3 A/B,
+        benchmarks/batched_modes.py); use_pallas="kernel_rng" selects the
+        in-kernel regeneration mode.  The builder kwargs are captured via a
+        recorder (kernels never compile on CPU, so only routing is pinned)."""
+        from pytorch_mppi_tpu.ops import solve as SV
+
+        seen = {}
+
+        def recorder(config, N, dyn, cost, **kw):
+            seen.update(kw)
+            raise SV.FusedSolveUnavailable("routing probe")
+
+        monkeypatch.setattr(PR, "_interpret", lambda: False)
+        monkeypatch.setattr(PR, "make_transposed_batched_solve", recorder)
+        config = MPPIConfig(nx=NX, nu=NU, K=2048, T=T, dtype=DT,
+                            diag_sigma=True)
+        fns = SV.make_batched_step(config, 2, lin_dyn, quad_cost, jit=False,
+                                   use_pallas=use_pallas)
+        assert fns.step is not None  # XLA fallback after the probe
+        assert seen.get("noise_operand") is want_operand
+
     def test_sharded_solve_matches_unsharded(self):
         """The K-sharded fused solve (per-shard kernels + pmax/psum
         flash-stat merge over an 8-virtual-device 'k' mesh) must match the
