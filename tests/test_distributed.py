@@ -44,14 +44,25 @@ def test_two_process_sharded_solve_bit_identical():
     single-device solve (the cross-process all-reduce may associate the psum
     differently) — the determinism contract that makes multi-host scaling
     safe (judge item 2)."""
-    port = _free_port()
-    procs = [_spawn(i, 2, port, 4) for i in range(2)]
-    outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=420)
-        outs.append(out)
-    for i, (p, out) in enumerate(zip(procs, outs)):
-        assert p.returncode == 0, (
-            f"worker {i} failed (rc={p.returncode}):\n{out[-4000:]}"
-        )
-        assert "multiprocess smoke OK" in out
+    # _free_port has an inherent TOCTOU race (the probe socket is closed
+    # before the coordinator binds the port) and the distributed-init
+    # barrier is load-sensitive, so one retry with a fresh port
+    # distinguishes environmental flake from a real regression
+    last_failure = None
+    for attempt in range(2):
+        port = _free_port()
+        procs = [_spawn(i, 2, port, 4) for i in range(2)]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=420)
+            outs.append(out)
+        ok = all(p.returncode == 0 and "multiprocess smoke OK" in out
+                 for p, out in zip(procs, outs))
+        if ok:
+            return
+        last_failure = [
+            f"attempt {attempt}, worker {i} (rc={p.returncode}):\n{out[-4000:]}"
+            for i, (p, out) in enumerate(zip(procs, outs))
+            if p.returncode != 0 or "multiprocess smoke OK" not in out
+        ]
+    raise AssertionError("\n".join(last_failure))
