@@ -120,6 +120,9 @@ def _spawn(pid, nprocs, port, local_devices, args):
     env = {k: v for k, v in os.environ.items()
            if k not in ("PALLAS_AXON_POOL_IPS", "XLA_FLAGS", "JAX_PLATFORMS")}
     env["JAX_PLATFORMS"] = "cpu"
+    # make the package importable regardless of the parent's PYTHONPATH
+    # (sys.path[0] for a worker is benchmarks/, not the repo root)
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     return subprocess.Popen(
         [sys.executable, os.path.abspath(__file__), "--worker", str(pid),
          str(nprocs), str(port), str(local_devices),

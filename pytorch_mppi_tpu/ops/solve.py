@@ -1544,9 +1544,11 @@ def make_batched_step(
     def _one_iteration_fused(params, U, x0, k_noise):
         """The whole N-plant iteration as one (N, K-blocks)-grid kernel.
         Two sampling modes (pallas_rollout.make_transposed_batched_solve):
-        in-kernel regeneration of the shared noise from block-indexed
-        hardware seeds (default), or one XLA draw passed as a (D, K_pad)
-        operand (``solve.noise_operand``).  Either way the (N, K, T·nu)
+        one XLA draw passed as a (D, K_pad) operand
+        (``solve.noise_operand``, the ``use_pallas=True`` default — won the
+        round-3 A/B at every measured shape), or in-kernel regeneration of
+        the shared noise from block-indexed hardware seeds (selected via
+        ``use_pallas="kernel_rng"``).  Either way the (N, K, T·nu)
         perturbed tensor never exists in HBM."""
         from . import pallas_rollout as PR
 

@@ -29,12 +29,42 @@ def _spawn(pid, nprocs, port, local_devices):
     env = {k: v for k, v in os.environ.items()
            if k not in ("PALLAS_AXON_POOL_IPS", "XLA_FLAGS", "JAX_PLATFORMS")}
     env["JAX_PLATFORMS"] = "cpu"
+    # `python tools/multiprocess_smoke.py` puts tools/ (not the repo) on
+    # sys.path[0]; make the package importable regardless of the parent's
+    # PYTHONPATH
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     return subprocess.Popen(
         [sys.executable, WORKER, str(pid), str(nprocs), str(port),
          str(local_devices)],
         env=env, cwd=REPO,
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
     )
+
+
+# Failure text that identifies an *environmental* flake: the _free_port
+# TOCTOU race (coordinator loses the port between probe and bind) or the
+# load-sensitive distributed-init barrier timing out.  Only these earn a
+# retry — a worker that got past init and tripped its smoke/determinism
+# assertions is a real regression and must fail immediately (otherwise the
+# retry would mask e.g. intermittent psum-association nondeterminism, the
+# exact contract this test exists to enforce).
+_INFRA_SIGNATURES = (
+    "Address already in use",
+    "Failed to bind",
+    "Connection refused",
+    "DEADLINE_EXCEEDED",
+    "UNAVAILABLE",
+    "Barrier timed out",
+    "barrier timed out",
+    "coordination service",
+    "Coordination service",
+    "timed out waiting",
+    "<worker hang: communicate() timeout>",
+)
+
+
+def _infra_flake(out):
+    return any(sig in out for sig in _INFRA_SIGNATURES)
 
 
 def test_two_process_sharded_solve_bit_identical():
@@ -44,25 +74,44 @@ def test_two_process_sharded_solve_bit_identical():
     single-device solve (the cross-process all-reduce may associate the psum
     differently) — the determinism contract that makes multi-host scaling
     safe (judge item 2)."""
-    # _free_port has an inherent TOCTOU race (the probe socket is closed
-    # before the coordinator binds the port) and the distributed-init
-    # barrier is load-sensitive, so one retry with a fresh port
-    # distinguishes environmental flake from a real regression
+    # One retry with a fresh port, but ONLY for infra-signature failures
+    # (see _INFRA_SIGNATURES); assertion failures raise on the spot.
     last_failure = None
     for attempt in range(2):
         port = _free_port()
         procs = [_spawn(i, 2, port, 4) for i in range(2)]
         outs = []
+        timed_out = False
         for p in procs:
-            out, _ = p.communicate(timeout=420)
+            try:
+                out, _ = p.communicate(timeout=420)
+            except subprocess.TimeoutExpired:
+                # a hung init barrier is exactly how the load-sensitive
+                # flake manifests: kill and reap BOTH workers (no leaked
+                # siblings) and treat the attempt as retry-eligible
+                timed_out = True
+                for q in procs:
+                    if q.poll() is None:
+                        q.kill()
+                out, _ = p.communicate()
+                out = (out or "") + "\n<worker hang: communicate() timeout>"
             outs.append(out)
         ok = all(p.returncode == 0 and "multiprocess smoke OK" in out
                  for p, out in zip(procs, outs))
         if ok:
             return
-        last_failure = [
-            f"attempt {attempt}, worker {i} (rc={p.returncode}):\n{out[-4000:]}"
-            for i, (p, out) in enumerate(zip(procs, outs))
+        failed = [
+            (i, p, out) for i, (p, out) in enumerate(zip(procs, outs))
             if p.returncode != 0 or "multiprocess smoke OK" not in out
         ]
+        last_failure = [
+            f"attempt {attempt}, worker {i} (rc={p.returncode}):\n{out[-4000:]}"
+            for i, p, out in failed
+        ]
+        retryable = timed_out or all(_infra_flake(out) for _, _, out in failed)
+        if not retryable:
+            raise AssertionError(
+                "worker ran but its smoke/determinism assertions failed "
+                "(not retried):\n" + "\n".join(last_failure)
+            )
     raise AssertionError("\n".join(last_failure))
