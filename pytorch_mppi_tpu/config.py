@@ -76,6 +76,26 @@ class MPPIConfig:
     # (spaced T/nsp steps apart), so the same rho smooths more per timestep
     # than it does on MPPI/SMPPI — retune when switching variants.
     noise_rho: float = 0.0
+    # TPU-native extension (MPOPI, arXiv:2203.16633; no reference counterpart):
+    # within-command covariance adaptation.  After each of the
+    # ``num_iterations`` update cycles, re-estimate the sampling covariance
+    # from the omega-weighted rectified-noise ensemble (a CMA-style rank-mu
+    # estimate averaged over the horizon) and blend it into the current
+    # sigma:  sigma <- (1-lr)*sigma + lr*(cov_hat + floor*I).  The adapted
+    # sigma drives the NEXT iteration's sampling and action cost, then
+    # resets to ``params.noise_sigma`` at the next command — so tuners and
+    # setters keep full control of the base covariance.  Only meaningful
+    # with num_iterations > 1 (with one iteration there is no next sampling
+    # step to drive).  With ``diag_sigma`` only the diagonal is adapted,
+    # keeping the static elementwise fast path valid.
+    adaptive_covariance: bool = False
+    # blend rate in (0, 1]: 1.0 replaces sigma with the weighted-ensemble
+    # estimate each iteration (pure CMA-style re-estimation); smaller values
+    # smooth the adaptation across iterations
+    adaptive_cov_lr: float = 0.5
+    # PSD guard added to the ensemble estimate so a collapsed ensemble
+    # (omega concentrated on one sample) can never drive sigma singular
+    adaptive_cov_floor: float = 1e-6
     # Diagonal-covariance fast path, detected statically at construction
     # (mirrors the reference's init-time diag detection, mppi.py:131-139):
     # the noise correlation reduces to an elementwise lane scale instead of

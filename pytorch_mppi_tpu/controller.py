@@ -243,6 +243,8 @@ class MPPI:
         stochastic_dynamics: bool = False,
         antithetic_sampling: bool = False,
         num_iterations: int = 1,
+        adaptive_covariance: bool = False,
+        adaptive_cov_lr: float = 0.5,
         noise_rho: float = 0.0,
         scan_unroll: int = 1,
         dynamics_params=None,
@@ -303,6 +305,11 @@ class MPPI:
         self.num_iterations = int(num_iterations)
         if self.num_iterations < 1:
             raise ValueError("num_iterations must be >= 1")
+        # within-command covariance adaptation across the iterations (MPOPI,
+        # arXiv:2203.16633); resets to the base noise_sigma every command so
+        # tuners/setters keep full control of the base covariance
+        self.adaptive_covariance = bool(adaptive_covariance)
+        self.adaptive_cov_lr = float(adaptive_cov_lr)
         # AR(1) temporal correlation of the exploration noise (0 = white)
         self.noise_rho = _validate_rho(noise_rho)
         # rollout-scan unroll factor (0 = full): ~18% faster solves at full
@@ -383,6 +390,8 @@ class MPPI:
             parameterized_dynamics=self.dynamics_params is not None,
             antithetic=self.antithetic_sampling,
             num_iterations=self.num_iterations,
+            adaptive_covariance=self.adaptive_covariance,
+            adaptive_cov_lr=self.adaptive_cov_lr,
             noise_rho=self.noise_rho,
             diag_sigma=self._diag_sigma,
             scan_unroll=self.scan_unroll,

@@ -184,6 +184,36 @@ def _bound(action: jax.Array, lo: jax.Array, hi: jax.Array) -> jax.Array:
     return jnp.clip(action, lo, hi)
 
 
+def adapt_covariance(config: MPPIConfig, sigma: jax.Array, omega: jax.Array,
+                     noise: jax.Array) -> jax.Array:
+    """Within-command covariance adaptation (MPOPI, arXiv:2203.16633; net-new
+    vs the reference, whose sigma is fixed for the life of the controller).
+
+    ``noise`` is the (K, T, nu) omega-weighted rectified-noise ensemble of the
+    iteration that just ran.  The estimate is the CMA-style *rank-mu* second
+    moment around the OLD mean — the raw noise already is the deviation from
+    the pre-update nominal, so no centering is applied — averaged over the
+    horizon (sigma is one (nu, nu) matrix shared across t, as in the
+    reference).  Clamped noise shrinks the estimate near saturated bounds,
+    which usefully stops pushing exploration variance into regions the clamp
+    would truncate anyway.  A ``floor * I`` PSD guard keeps the blend
+    invertible even if omega collapses onto a single sample.
+    """
+    dtype = sigma.dtype
+    T = noise.shape[-2]
+    nu = noise.shape[-1]
+    omega = omega.astype(dtype)
+    lr = jnp.asarray(config.adaptive_cov_lr, dtype)
+    if config.diag_sigma:
+        # stay on the static diagonal fast path: adapt the diagonal only
+        var = jnp.einsum("k,ktu->u", omega, jnp.square(noise)) / T
+        cov = jnp.diag(var)
+    else:
+        cov = jnp.einsum("k,ktu,ktv->uv", omega, noise, noise) / T
+    cov = cov + jnp.asarray(config.adaptive_cov_floor, dtype) * jnp.eye(nu, dtype=dtype)
+    return (1 - lr) * sigma + lr * cov
+
+
 # ---------------------------------------------------------------------------
 # Dynamics / cost adapters
 # ---------------------------------------------------------------------------
@@ -709,6 +739,38 @@ def _route_transposed_solve(config, builder, terminal_state_cost,
     return solve
 
 
+def _gate_adaptive_covariance(config: MPPIConfig, use_pallas, variant: str):
+    """Validate the adaptive-covariance config and resolve its routing.
+
+    The adaptation consumes the per-iteration noise/omega artifacts, which
+    the fused transposed kernels never materialize in HBM (their whole
+    point), so ``use_pallas`` falls back to the XLA scan path with a
+    warning.  With ``num_iterations=1`` the adapted sigma would never drive
+    a sampling step, so the flag is a no-op — warn loudly rather than
+    silently accept a config the user probably mistuned.
+    """
+    if not config.adaptive_covariance:
+        return use_pallas
+    if not 0.0 < config.adaptive_cov_lr <= 1.0:
+        raise ValueError(
+            f"adaptive_cov_lr must be in (0, 1], got {config.adaptive_cov_lr}"
+        )
+    if config.num_iterations < 2:
+        logger.warning(
+            "adaptive_covariance with num_iterations=1 has no effect: the "
+            "covariance adapted after the single update cycle never drives "
+            "a sampling step; set num_iterations >= 2"
+        )
+    if use_pallas:
+        logger.warning(
+            "adaptive_covariance on %s needs the per-iteration noise/omega "
+            "artifacts, which the fused kernels keep out of HBM by design; "
+            "using the XLA scan path", variant,
+        )
+        use_pallas = False
+    return use_pallas
+
+
 def _select_action(config: MPPIConfig, seq: jax.Array) -> jax.Array:
     """Return the first u_per_command actions, squeezed if 1 (mppi.py:271-275)."""
     action = seq[: config.u_per_command]
@@ -763,6 +825,7 @@ def make_mppi_step(
             f"config.num_iterations must be >= 1, got {config.num_iterations} "
             f"(0 would leave the solve with no update at all)"
         )
+    use_pallas = _gate_adaptive_covariance(config, use_pallas, "MPPI")
     dyn = wrap_dynamics(config, dynamics)
     cost = wrap_cost(config, running_cost)
     dtype = config.dtype
@@ -832,12 +895,24 @@ def make_mppi_step(
         # optimization iterations per command (config.num_iterations, default 1):
         # re-center the sampling distribution on the updated nominal sequence and
         # repeat the whole sample->rollout->weight->update cycle — all inside the
-        # same traced program (MPPI-Generic's num_iters, arXiv:2409.07563)
-        for _ in range(config.num_iterations):
+        # same traced program (MPPI-Generic's num_iters, arXiv:2409.07563).
+        # With adaptive_covariance the sampling sigma is threaded through the
+        # iterations (MPOPI-style rank-mu re-estimation, see adapt_covariance)
+        # and resets to params.noise_sigma at the next command.
+        sigma = params.noise_sigma
+        for it in range(config.num_iterations):
             key, k_noise, k_roll = jax.random.split(key, 3)
-            U, artifacts = _one_iteration(
-                params, U, x0, info, k_noise, k_roll, dyn_params
+            it_params = (
+                params._replace(noise_sigma=sigma)
+                if config.adaptive_covariance else params
             )
+            U, artifacts = _one_iteration(
+                it_params, U, x0, info, k_noise, k_roll, dyn_params
+            )
+            if config.adaptive_covariance and it + 1 < config.num_iterations:
+                sigma = adapt_covariance(
+                    config, sigma, artifacts.omega, artifacts.noise
+                )
 
         action = _select_action(config, U)
         return MPPIState(U=U, key=key), action, artifacts
@@ -1029,6 +1104,9 @@ def make_smppi_step(
         raise ValueError(
             f"config.num_iterations must be >= 1, got {config.num_iterations}"
         )
+    # within-command covariance adaptation operates on the rate-space noise
+    # ensemble (the space SMPPI samples in), same estimator as base MPPI
+    use_pallas = _gate_adaptive_covariance(config, use_pallas, "SMPPI")
     dyn = wrap_dynamics(config, dynamics)
     cost = wrap_cost(config, running_cost)
     dtype = config.dtype
@@ -1076,12 +1154,23 @@ def make_smppi_step(
         # re-centers the rate-space sampling on the updated lifted sequence U;
         # the commanded action_sequence stays the integration BASE throughout
         # and is integrated once with the final U, preserving the reference's
-        # update-then-integrate order (mppi.py:529-531) at num_iterations=1
-        for _ in range(config.num_iterations):
+        # update-then-integrate order (mppi.py:529-531) at num_iterations=1.
+        # adaptive_covariance threads the rate-space sigma across iterations
+        # (adapt_covariance), resetting to params.base.noise_sigma per command.
+        sigma = params.base.noise_sigma
+        for it in range(config.num_iterations):
             key, k_noise, k_roll = jax.random.split(key, 3)
-            U, artifacts = _one_iteration(
-                params, U, action_sequence, x0, info, k_noise, k_roll, dyn_params
+            it_params = (
+                params._replace(base=params.base._replace(noise_sigma=sigma))
+                if config.adaptive_covariance else params
             )
+            U, artifacts = _one_iteration(
+                it_params, U, action_sequence, x0, info, k_noise, k_roll, dyn_params
+            )
+            if config.adaptive_covariance and it + 1 < config.num_iterations:
+                sigma = adapt_covariance(
+                    config, sigma, artifacts.omega, artifacts.noise
+                )
 
         # integrate the lifted control (mppi.py:529-531)
         action_sequence_new = action_sequence + U * params.delta_t
@@ -1232,6 +1321,7 @@ def make_kmppi_step(
         raise ValueError(
             f"config.num_iterations must be >= 1, got {config.num_iterations}"
         )
+    use_pallas = _gate_adaptive_covariance(config, use_pallas, "KMPPI")
     dyn = wrap_dynamics(config, dynamics)
     cost = wrap_cost(config, running_cost)
     dtype = config.dtype
@@ -1277,12 +1367,24 @@ def make_kmppi_step(
 
         # optimization iterations per command (see make_mppi_step): each cycle
         # re-centers the control-point sampling on the updated theta and
-        # re-deparameterizes U — all inside the same traced program
-        for _ in range(config.num_iterations):
+        # re-deparameterizes U — all inside the same traced program.
+        # adaptive_covariance adapts in THETA space (the space KMPPI samples
+        # in, mppi.py:657-664) from the rectified support-point noise.
+        sigma = params.base.noise_sigma
+        for it in range(config.num_iterations):
             key, k_noise, k_roll = jax.random.split(key, 3)
-            U, theta, artifacts = _one_iteration(
-                params, U, theta, x0, info, k_noise, k_roll, dyn_params
+            it_params = (
+                params._replace(base=params.base._replace(noise_sigma=sigma))
+                if config.adaptive_covariance else params
             )
+            U, theta, artifacts, noise_theta = _one_iteration(
+                it_params, U, theta, x0, info, k_noise, k_roll, dyn_params
+            )
+            if config.adaptive_covariance and it + 1 < config.num_iterations:
+                sigma = adapt_covariance(
+                    config, sigma, artifacts.omega,
+                    noise_theta.reshape(K, nsp, nu),
+                )
 
         action = _select_action(config, U)
         return KMPPIState(U=U, theta=theta, key=key), action, artifacts
@@ -1329,7 +1431,9 @@ def make_kmppi_step(
 
     def _one_iteration(params, U, theta, x0, info, k_noise, k_roll, dyn_params):
         if transposed_solve is not None:
-            return _one_iteration_fused(params, U, theta, x0, k_noise)
+            # the gate guarantees adaptive_covariance never reaches here, so
+            # the theta-space noise (never materialized by the kernel) is None
+            return _one_iteration_fused(params, U, theta, x0, k_noise) + (None,)
         base = params.base
         # flat lane-dense layout (see make_mppi_step): control points live in
         # (K, nsp·nu), the horizon in (K, T·nu).  Noise is sampled only at
@@ -1388,7 +1492,9 @@ def make_kmppi_step(
             states=states,
             actions=None if actions is None else actions / jnp.asarray(config.u_scale, dtype),
         )
-        return U_new, theta_new, artifacts
+        # the rectified theta-space noise rides along for adapt_covariance
+        # (the artifact surface keeps horizon-space noise, mppi.py:179-184)
+        return U_new, theta_new, artifacts, noise_theta2
 
     def step(params, state, x0, info=None, dyn_params=None):
         return _solve(params, state, x0, info, shift=True, dyn_params=dyn_params)
@@ -1452,6 +1558,14 @@ def make_batched_step(
     if config.num_iterations < 1:
         raise ValueError(
             f"config.num_iterations must be >= 1, got {config.num_iterations}"
+        )
+    if config.adaptive_covariance:
+        raise ValueError(
+            "adaptive_covariance is not supported on MPPI_Batched: the N "
+            "plants share ONE noise draw (mppi.py:837-838), so a per-plant "
+            "covariance would break the shared-noise design and a pooled one "
+            "would mix unrelated plants; use per-plant MPPI controllers if "
+            "you need it"
         )
     dyn = wrap_dynamics(config, dynamics)
     cost = wrap_cost(config, running_cost)

@@ -308,6 +308,124 @@ class TestNumIterations:
             assert d < (4.0 if cls is SMPPI else 2.0)
 
 
+class TestAdaptiveCovariance:
+    """Within-command covariance adaptation (MPOPI, arXiv:2203.16633; net-new
+    vs the reference, whose noise_sigma is fixed for the controller's life):
+    each of the num_iterations cycles re-estimates the sampling covariance
+    from the omega-weighted rectified-noise ensemble and blends it into
+    sigma, which resets to the base value at the next command."""
+
+    U_MAX = jnp.array([0.6, 0.6], dtype=DTYPE)
+    BIG_SIGMA = 25.0  # deliberately mis-scaled exploration covariance
+
+    def _run(self, seed, cls=MPPI, steps=15, **extra):
+        ctrl = cls(linear_dynamics, quadratic_cost, 2,
+                   self.BIG_SIGMA * jnp.eye(2, dtype=DTYPE), num_samples=256,
+                   horizon=10, lambda_=1.0, seed=seed, num_iterations=5,
+                   u_max=self.U_MAX, **extra)
+        s = jnp.array([-3.0, -2.0], dtype=DTYPE)
+        for _ in range(steps):
+            a = ctrl.command(s)
+            s = linear_dynamics(s, a)
+        # the planner's own objective: cost of the best sampled plan at the
+        # final command — what the within-command iterations optimize
+        return float(jnp.min(ctrl.cost_total)), s
+
+    def test_plan_quality_improves_with_misscaled_sigma(self):
+        """With a badly over-scaled sigma, adapting the covariance toward the
+        weighted elite ensemble must sharply improve the best sampled plan
+        (measured 14x on this fixture at lr=0.8; asserted at 2x with
+        seed-averaging headroom)."""
+        fixed = np.mean([self._run(s)[0] for s in range(3)])
+        adapt = np.mean([
+            self._run(s, adaptive_covariance=True, adaptive_cov_lr=0.8)[0]
+            for s in range(3)
+        ])
+        assert np.isfinite(adapt)
+        assert adapt < 0.5 * fixed, (adapt, fixed)
+
+    def test_deterministic(self):
+        m1, s1 = self._run(SEED, adaptive_covariance=True, steps=6)
+        m2, s2 = self._run(SEED, adaptive_covariance=True, steps=6)
+        assert m1 == m2
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+
+    def test_full_sigma_path(self):
+        """Non-diagonal sigma takes the full rank-mu estimate (einsum over
+        both action dims) and stays PD through the floor guard."""
+        ctrl = MPPI(linear_dynamics, quadratic_cost, 2,
+                    jnp.array([[25.0, 5.0], [5.0, 25.0]], dtype=DTYPE),
+                    num_samples=128, horizon=8, seed=SEED, num_iterations=4,
+                    adaptive_covariance=True, u_max=self.U_MAX)
+        s = jnp.array([-3.0, -2.0], dtype=DTYPE)
+        for _ in range(8):
+            a = ctrl.command(s)
+            s = linear_dynamics(s, a)
+        assert jnp.isfinite(s).all()
+        assert jnp.isfinite(ctrl.cost_total).all()
+
+    def test_smppi_kmppi_adapt(self):
+        """SMPPI adapts in rate space, KMPPI in theta (support-point) space —
+        each the space it samples in."""
+        from pytorch_mppi_tpu import KMPPI, SMPPI
+
+        for cls, kw in ((SMPPI, dict(w_action_seq_cost=0.1, delta_t=1.0)),
+                        (KMPPI, dict(num_support_pts=5))):
+            _, s = self._run(SEED, cls=cls, steps=12,
+                             adaptive_covariance=True, **kw)
+            assert jnp.isfinite(s).all()
+            d = float(jnp.linalg.norm((GOAL - s).astype(jnp.float64)))
+            assert d < 4.0, (cls.__name__, d)
+
+    def test_noop_with_single_iteration_and_warns(self, caplog):
+        """num_iterations=1 leaves no sampling step for the adapted sigma to
+        drive: results are bit-identical to the flag being off, and the
+        factory warns about the mistuned config."""
+        import logging
+
+        x = jnp.array([0.5, -0.5], dtype=DTYPE)
+        base = MPPI(linear_dynamics, quadratic_cost, 2, jnp.eye(2, dtype=DTYPE),
+                    num_samples=64, horizon=6, seed=SEED).command(x)
+        with caplog.at_level(logging.WARNING):
+            on = MPPI(linear_dynamics, quadratic_cost, 2, jnp.eye(2, dtype=DTYPE),
+                      num_samples=64, horizon=6, seed=SEED,
+                      adaptive_covariance=True).command(x)
+        np.testing.assert_array_equal(np.asarray(base), np.asarray(on))
+        assert any("num_iterations" in r.message for r in caplog.records)
+
+    def test_pallas_falls_back_to_xla(self, caplog):
+        """The fused kernels never materialize the per-iteration noise/omega
+        the adaptation consumes, so use_pallas gates off with a warning; the
+        XLA path's full artifact surface is the observable."""
+        import logging
+
+        with caplog.at_level(logging.WARNING):
+            ctrl = MPPI(linear_dynamics, quadratic_cost, 2,
+                        jnp.eye(2, dtype=DTYPE), num_samples=64, horizon=6,
+                        seed=SEED, num_iterations=2, adaptive_covariance=True,
+                        use_pallas=True)
+        ctrl.command(jnp.array([0.5, -0.5], dtype=DTYPE))
+        assert ctrl.noise is not None  # XLA path artifacts
+        assert any("adaptive_covariance" in r.message for r in caplog.records)
+
+    def test_batched_rejected(self):
+        from pytorch_mppi_tpu.config import MPPIConfig
+        from pytorch_mppi_tpu.ops.solve import make_batched_step
+
+        with pytest.raises(ValueError, match="adaptive_covariance"):
+            make_batched_step(
+                MPPIConfig(nx=2, nu=2, K=16, T=5, adaptive_covariance=True),
+                2, linear_dynamics, quadratic_cost)
+
+    def test_lr_validated(self):
+        for bad in (0.0, -0.1, 1.5):
+            with pytest.raises(ValueError, match="adaptive_cov_lr"):
+                MPPI(linear_dynamics, quadratic_cost, 2,
+                     jnp.eye(2, dtype=DTYPE), num_samples=16, horizon=4,
+                     seed=0, num_iterations=2, adaptive_covariance=True,
+                     adaptive_cov_lr=bad)
+
+
 class TestPrngAutoDefault:
     def test_auto_resolves_to_threefry_on_cpu(self):
         """prng_impl='auto' (the default) keeps threefry off-TPU, so the CPU
