@@ -923,10 +923,13 @@ class MPPI_Batched:
     ``use_pallas=True`` routes eligible configs to the batched transposed
     fused kernel in its measured-best sampling mode (*noise-operand*: one XLA
     rbg draw of the shared (K, T·nu) noise fed as a VMEM block operand —
-    benchmarks/batched_modes.py, 1.2–2.1× over the alternatives at K ≥ 2048).
-    ``use_pallas="kernel_rng"`` selects the in-kernel regeneration mode
-    instead (noise never exists in HBM at all; slightly slower, kept for the
-    decision record — docs/BENCHMARKS.md).
+    benchmarks/batched_modes.py, 1.2–2.1× over the alternatives at K ≥ 2048)
+    and honestly auto-routes to the XLA scan path below the measured
+    K ≈ 2048 crossover, where the kernel loses (an info log says so).
+    ``use_pallas="force"`` keeps the noise-operand kernel at any K (A/Bs,
+    unmeasured dynamics); ``use_pallas="kernel_rng"`` selects the in-kernel
+    regeneration mode instead (noise never exists in HBM at all; slightly
+    slower, kept for the decision record — docs/BENCHMARKS.md).
     """
 
     def __init__(

@@ -1520,6 +1520,13 @@ class BatchedState(NamedTuple):
     key: jax.Array
 
 
+# Measured fused-vs-XLA crossover for the BATCHED kernel (round-3 A/B,
+# benchmarks/batched_modes.py; docs/BENCHMARKS.md): below this K the XLA
+# scan path wins at every measured N/T.  The single-plant kernels have NO
+# crossover — they win at every K measured (round-4 sweep, docs/BENCHMARKS.md).
+_BATCHED_KERNEL_MIN_K = 2048
+
+
 def make_batched_step(
     config: MPPIConfig,
     num_envs: int,
@@ -1604,6 +1611,20 @@ def make_batched_step(
             "(full artifact surface)"
         )
         use_pallas = False
+    if use_pallas is True and config.K < _BATCHED_KERNEL_MIN_K:
+        # honest default: route by the MEASURED crossover (round-3 A/B,
+        # docs/BENCHMARKS.md — below K~2048 the XLA scan wins even against
+        # the noise-operand mode: kernel grid overhead outweighs the saved
+        # HBM traffic).  Explicit mode strings ("force", "kernel_rng") keep
+        # the kernel regardless for A/Bs and unmeasured dynamics.
+        logger.info(
+            "use_pallas=True on MPPI_Batched with K=%d: the fused kernel "
+            "measured faster only for K >= ~%d, so the XLA scan path is "
+            "used; pass use_pallas='force' (noise-operand mode) or "
+            "'kernel_rng' to keep the kernel anyway",
+            config.K, _BATCHED_KERNEL_MIN_K,
+        )
+        use_pallas = False
     if use_pallas and transposed_solve is None:
         from . import pallas_rollout as PR
 
@@ -1644,15 +1665,14 @@ def make_batched_step(
                 ),
                 terminal_state_cost, None, None, mesh, "MPPI_Batched",
             )
-        if transposed_solve is not None and config.K < 2048:
-            # measured crossover (docs/BENCHMARKS.md batched A/B): below
-            # K~2048 the XLA scan path wins even against the noise-operand
-            # mode (kernel grid overhead outweighs the saved HBM traffic)
+        if transposed_solve is not None and config.K < _BATCHED_KERNEL_MIN_K:
+            # an explicit mode string bypassed the auto-route above: keep
+            # the kernel but say what the measurement predicts
             logger.warning(
-                "use_pallas on MPPI_Batched with K=%d: the fused kernel "
-                "measured faster only for K >= ~2048; the XLA path is "
+                "use_pallas=%r on MPPI_Batched with K=%d: the fused kernel "
+                "measured faster only for K >= ~%d; the XLA path is "
                 "likely faster here",
-                config.K,
+                use_pallas, config.K, _BATCHED_KERNEL_MIN_K,
             )
 
     def _one_iteration_fused(params, U, x0, k_noise):

@@ -561,6 +561,38 @@ class TestTransposedSolve:
         assert fns.step is not None  # XLA fallback after the probe
         assert seen.get("noise_operand") is want_operand
 
+    def test_batched_small_k_auto_routes_to_xla(self, monkeypatch, caplog):
+        """use_pallas=True below the measured K crossover (round-3 A/B:
+        XLA wins for K < ~2048) auto-routes to the XLA scan path with an
+        info log; 'force' and 'kernel_rng' keep the kernel."""
+        import logging
+
+        from pytorch_mppi_tpu.ops import solve as SV
+
+        calls = []
+
+        def recorder(config, N, dyn, cost, **kw):
+            calls.append(kw)
+            raise SV.FusedSolveUnavailable("routing probe")
+
+        monkeypatch.setattr(PR, "_interpret", lambda: False)
+        monkeypatch.setattr(PR, "make_transposed_batched_solve", recorder)
+        config = MPPIConfig(nx=NX, nu=NU, K=1024, T=T, dtype=DT,
+                            diag_sigma=True)
+        with caplog.at_level(logging.INFO):
+            fns = SV.make_batched_step(config, 2, lin_dyn, quad_cost,
+                                       jit=False, use_pallas=True)
+        assert fns.step is not None
+        assert calls == []  # kernel builder never invoked
+        assert any("use_pallas='force'" in r.getMessage()
+                   for r in caplog.records)
+        # explicit modes bypass the auto-route (with the crossover warning)
+        for mode, want_operand in (("force", True), ("kernel_rng", False)):
+            calls.clear()
+            SV.make_batched_step(config, 2, lin_dyn, quad_cost, jit=False,
+                                 use_pallas=mode)
+            assert calls and calls[0].get("noise_operand") is want_operand
+
     def test_sharded_solve_matches_unsharded(self):
         """The K-sharded fused solve (per-shard kernels + pmax/psum
         flash-stat merge over an 8-virtual-device 'k' mesh) must match the

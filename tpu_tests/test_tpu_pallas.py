@@ -211,9 +211,12 @@ class TestCompiledKernels:
         from pytorch_mppi_tpu import MPPI_Batched
 
         N = 4
+        # K=512 sits below the measured crossover, where use_pallas=True
+        # auto-routes to XLA; "force" keeps the kernel under test
         ctrl = MPPI_Batched(dyn, cost, 2, jnp.eye(2, dtype=DT), num_envs=N,
                             num_samples=512, horizon=10, seed=3,
-                            u_max=jnp.array([1.0, 1.0], DT), use_pallas=True)
+                            u_max=jnp.array([1.0, 1.0], DT),
+                            use_pallas="force")
         states = jnp.asarray([[-3.0, -2.0], [-1.0, 1.0], [4.0, 4.0],
                               [0.0, -3.0]], DT)
         d0 = jnp.linalg.norm(states - GOAL, axis=-1)
@@ -231,7 +234,8 @@ class TestCompiledKernels:
         # block-indexed hardware seeds
         ctrl2 = MPPI_Batched(dyn, cost, 2, jnp.eye(2, dtype=DT), num_envs=2,
                              num_samples=512, horizon=10, seed=3,
-                             u_max=jnp.array([1.0, 1.0], DT), use_pallas=True)
+                             u_max=jnp.array([1.0, 1.0], DT),
+                             use_pallas="force")
         ctrl2.U = jnp.broadcast_to(ctrl2.U[0], ctrl2.U.shape)
         same = jnp.asarray([[1.0, -1.0], [1.0, -1.0]], DT)
         a = np.asarray(ctrl2.command(same))
