@@ -76,6 +76,15 @@ class MPPIConfig:
     # (spaced T/nsp steps apart), so the same rho smooths more per timestep
     # than it does on MPPI/SMPPI — retune when switching variants.
     noise_rho: float = 0.0
+    # TPU-native extension (no reference counterpart; the reference's only
+    # risk knob is the variance penalty rollout_var_cost): risk-sensitive
+    # CVaR aggregation over the M stochastic rollouts.  0 = off (the
+    # reference's mean).  alpha in (0, 1] replaces the mean over M with the
+    # mean of the worst ceil(alpha*M) rollout costs per trajectory —
+    # planning against the alpha-tail of the dynamics noise instead of its
+    # expectation.  Static, so it resolves to one trace-time top_k on the M
+    # axis; composes with rollout_var_cost; requires M > 1.
+    risk_alpha: float = 0.0
     # TPU-native extension (MPOPI, arXiv:2203.16633; no reference counterpart):
     # within-command covariance adaptation.  After each of the
     # ``num_iterations`` update cycles, re-estimate the sampling covariance

@@ -237,6 +237,7 @@ class MPPI:
         rollout_samples: int = 1,
         rollout_var_cost: float = 0.0,
         rollout_var_discount: float = 0.95,
+        risk_alpha: float = 0.0,
         sample_null_action: bool = False,
         specific_action_sampler: Optional[SpecificActionSampler] = None,
         noise_abs_cost: bool = False,
@@ -317,6 +318,17 @@ class MPPI:
         self.scan_unroll = int(scan_unroll)
         self.rollout_var_cost = float(rollout_var_cost)
         self.rollout_var_discount = float(rollout_var_discount)
+        # CVaR_alpha aggregation over the M stochastic rollouts (0 = mean)
+        self.risk_alpha = float(risk_alpha)
+        if not 0.0 <= self.risk_alpha <= 1.0:
+            raise ValueError(
+                f"risk_alpha must be in [0, 1], got {self.risk_alpha}"
+            )
+        if self.risk_alpha > 0.0 and self.M < 2:
+            raise ValueError(
+                "risk_alpha needs rollout_samples (M) > 1: CVaR over the "
+                "stochastic rollouts is undefined with a single rollout"
+            )
         # static diag-covariance fast path (reference mppi.py:131-139)
         self._diag_sigma = _is_diag(sigma)
 
@@ -381,6 +393,7 @@ class MPPI:
             u_per_command=self.u_per_command,
             rollout_var_cost=self.rollout_var_cost,
             rollout_var_discount=self.rollout_var_discount,
+            risk_alpha=self.risk_alpha,
             sample_null_action=self.sample_null_action,
             noise_abs_cost=self.noise_abs_cost,
             has_terminal_cost=self.terminal_state_cost is not None,

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import functools
 import logging
+import math
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -375,7 +376,18 @@ def rollout_costs(
             c = jnp.asarray(c, dtype)
             # broadcast (K,) or (M, K) terminal costs onto cost_samples (mppi.py:324-328, 369-370)
             cost_samples = cost_samples + c
-    cost_total = jnp.mean(cost_samples, axis=0)
+    if var_on and config.risk_alpha > 0.0:
+        # risk-sensitive aggregation (TPU-native extension; the reference's
+        # only risk knob is the variance penalty below): CVaR_alpha over the
+        # M stochastic rollouts = mean of the worst ceil(alpha*M) sample
+        # costs per trajectory.  alpha is static, so this is one top_k on
+        # the M axis at trace time; alpha=1 recovers the mean (up to
+        # summation order).
+        m_w = max(1, min(M, int(math.ceil(config.risk_alpha * M))))
+        worst, _ = lax.top_k(cost_samples.T, m_w)  # (K, m_w), descending
+        cost_total = jnp.mean(worst, axis=-1)
+    else:
+        cost_total = jnp.mean(cost_samples, axis=0)
     if var_on:
         cost_total = cost_total + cost_var * jnp.asarray(config.rollout_var_cost, dtype)
     return cost_total, states, actions

@@ -308,6 +308,96 @@ class TestNumIterations:
             assert d < (4.0 if cls is SMPPI else 2.0)
 
 
+class TestRiskSensitiveCVaR:
+    """risk_alpha: CVaR aggregation over the M stochastic rollouts (net-new;
+    the reference's only risk knob is the rollout_var_cost variance penalty).
+    cost_total uses the mean of the worst ceil(alpha*M) rollout costs per
+    trajectory instead of the mean over all M."""
+
+    @staticmethod
+    def _stoch_dyn(state, action, key):
+        # multiplicative noise: bigger actions are riskier
+        eps = jax.random.normal(key, state.shape, state.dtype)
+        return state + action @ B.T * (1.0 + 0.5 * eps)
+
+    def _rollout(self, risk_alpha, M=4, K=16, T=5):
+        from pytorch_mppi_tpu.config import MPPIConfig, MPPIParams
+        from pytorch_mppi_tpu.ops import solve as SV
+
+        config = MPPIConfig(nx=2, nu=2, K=K, T=T, M=M, dtype=DTYPE,
+                            stochastic_dynamics=True, risk_alpha=risk_alpha)
+        params = MPPIParams(
+            noise_mu=jnp.zeros(2, DTYPE), noise_sigma=jnp.eye(2, dtype=DTYPE),
+            lambda_=jnp.asarray(1.0, DTYPE),
+            u_min=jnp.full((2,), -jnp.inf, DTYPE),
+            u_max=jnp.full((2,), jnp.inf, DTYPE),
+            u_init=jnp.zeros(2, DTYPE))
+        dyn_w = SV.wrap_dynamics(config, self._stoch_dyn)
+        cost_w = SV.wrap_cost(config, quadratic_cost)
+        acts = jax.random.normal(jax.random.PRNGKey(1), (K, T, 2), DTYPE)
+        x0 = jnp.array([-3.0, -2.0], DTYPE)
+        return SV.rollout_costs(config, dyn_w, cost_w, None, None, params,
+                                x0, acts, jax.random.PRNGKey(2))
+
+    def test_exact_worst_case_aggregation(self):
+        """CVaR_0.5 with M=4 must equal the mean of each trajectory's two
+        worst rollout costs, recomputed from the stored per-rollout states
+        and actions (the lazy-storage artifacts M>1 always materializes)."""
+        cost_cvar, states, actions = self._rollout(0.5)
+        # recompute per-(m, k) rollout cost from the stored artifacts
+        per_m = quadratic_cost(states, actions).sum(axis=-1)  # (M, K)
+        worst2 = -jnp.sort(-per_m, axis=0)[:2]
+        np.testing.assert_allclose(np.asarray(cost_cvar),
+                                   np.asarray(worst2.mean(axis=0)), rtol=1e-12)
+
+    def test_alpha_one_recovers_mean(self):
+        c_mean, _, _ = self._rollout(0.0)
+        c_all, _, _ = self._rollout(1.0)
+        np.testing.assert_allclose(np.asarray(c_mean), np.asarray(c_all),
+                                   rtol=1e-12)
+
+    def test_cvar_upper_bounds_mean(self):
+        c_mean, _, _ = self._rollout(0.0)
+        c_cvar, _, _ = self._rollout(0.25)
+        assert (np.asarray(c_cvar) >= np.asarray(c_mean) - 1e-12).all()
+
+    def test_risk_averse_controller_backs_off_the_cliff(self):
+        """A cliff problem: reward for moving right, a large penalty past
+        x=2, multiplicative dynamics noise (risk grows with the commanded
+        speed).  The CVaR planner — optimizing the worst quarter of its
+        stochastic rollouts — must pick a markedly smaller action than the
+        risk-neutral mean planner (measured ~0.22 vs ~0.55 across seeds;
+        asserted with headroom)."""
+        def cliff_dyn(s, u, key):
+            eps = jax.random.normal(key, s.shape, s.dtype)
+            return s + u * (1.0 + 0.7 * eps)
+
+        def cliff_cost(s, u):
+            x = s[..., 0]
+            return -x + 100.0 * jnp.maximum(x - 2.0, 0.0)
+
+        def first_action(risk_alpha):
+            ctrl = MPPI(cliff_dyn, cliff_cost, 1, jnp.eye(1, dtype=DTYPE),
+                        num_samples=512, horizon=1, lambda_=0.3, seed=SEED,
+                        stochastic_dynamics=True, rollout_samples=16,
+                        risk_alpha=risk_alpha,
+                        u_min=jnp.array([0.0], dtype=DTYPE),
+                        u_max=jnp.array([3.0], dtype=DTYPE))
+            return float(np.asarray(ctrl.command(jnp.zeros(1, DTYPE))).ravel()[0])
+
+        neutral = first_action(0.0)
+        averse = first_action(0.25)
+        assert averse < 0.75 * neutral, (averse, neutral)
+
+    def test_validation(self):
+        with pytest.raises(ValueError, match="risk_alpha"):
+            MPPI(linear_dynamics, quadratic_cost, 2, jnp.eye(2, dtype=DTYPE),
+                 num_samples=16, horizon=4, seed=0, risk_alpha=1.5)
+        with pytest.raises(ValueError, match="rollout_samples"):
+            MPPI(linear_dynamics, quadratic_cost, 2, jnp.eye(2, dtype=DTYPE),
+                 num_samples=16, horizon=4, seed=0, risk_alpha=0.5)
+
+
 class TestAdaptiveCovariance:
     """Within-command covariance adaptation (MPOPI, arXiv:2203.16633; net-new
     vs the reference, whose noise_sigma is fixed for the controller's life):
