@@ -10,7 +10,8 @@ the TPU-native scaling story on top of it (SURVEY.md §2.4, §3.4):
 - ``use_pallas=True`` runs each shard's scenario batch as one
   (N, K-blocks)-grid fused kernel: the (N, K, T·nu) perturbed tensor
   (~4 GB at the north-star shape N=1024 × K=16,384 × T=30) never exists
-  in HBM (measured 1.84× vs the XLA path at that shape, docs/BENCHMARKS.md).
+  in HBM (measured 2.74× vs the XLA path at that shape in noise-operand
+  mode, docs/BENCHMARKS.md).
 
 Defaults are sized to run anywhere (CPU included) in a few seconds; pass
 ``--pod-scale`` on a TPU host to run the full north-star shape.

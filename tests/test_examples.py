@@ -84,3 +84,16 @@ class TestDifferentiableMPCExample:
 
         l0, l1 = differentiable_mpc.main(train_steps=15)
         assert l1 < 0.6 * l0
+
+
+class TestDeployServing:
+    def test_build_then_serve_in_fresh_process(self):
+        """The deploy example's full story at tiny shapes: export on the
+        'build host', close the loop on a 'serving host' subprocess that
+        never defines the dynamics."""
+        import deploy_serving
+
+        r = deploy_serving.main(["--steps", "8", "--samples", "64"])
+        import numpy as np
+
+        assert r["steps"] == 8 and np.isfinite(r["final_angle"])
