@@ -103,7 +103,10 @@ def main(argv=None):
     p.add_argument("--keep", action="store_true", help="keep the artifact file")
     args = p.parse_args(argv)
 
-    path = tempfile.mktemp(suffix=".mppi.npz")
+    # mkstemp (not the deprecated, racy mktemp): the name is created and
+    # owned immediately; export_solver overwrites the empty placeholder
+    fd, path = tempfile.mkstemp(suffix=".mppi.npz")
+    os.close(fd)
     try:
         build_artifact(path, num_samples=args.samples)
         size_kb = os.path.getsize(path) / 1024

@@ -186,7 +186,7 @@ def _bound(action: jax.Array, lo: jax.Array, hi: jax.Array) -> jax.Array:
 
 
 def adapt_covariance(config: MPPIConfig, sigma: jax.Array, omega: jax.Array,
-                     noise: jax.Array) -> jax.Array:
+                     noise: jax.Array, n_injected: int = 0) -> jax.Array:
     """Within-command covariance adaptation (MPOPI, arXiv:2203.16633; net-new
     vs the reference, whose sigma is fixed for the life of the controller).
 
@@ -205,6 +205,19 @@ def adapt_covariance(config: MPPIConfig, sigma: jax.Array, omega: jax.Array,
     nu = noise.shape[-1]
     omega = omega.astype(dtype)
     lr = jnp.asarray(config.adaptive_cov_lr, dtype)
+    safe = None
+    if n_injected:
+        # Injected rows (null action / specific-action-sampler trajectories,
+        # inject_specific_actions) are NOT draws from the sampling
+        # distribution — the null row's "noise" is -U — so blending them in
+        # would drag sigma toward U·U^T/T whenever omega concentrates on an
+        # injected row (common near the goal for the null action).  Mask them
+        # out and renormalize omega over the pure-noise rows; n_injected is
+        # static, so this is a compile-time slice.
+        omega = omega.at[:n_injected].set(0.0)
+        w_sum = jnp.sum(omega)
+        safe = w_sum > jnp.asarray(1e-12, dtype)
+        omega = omega / jnp.where(safe, w_sum, jnp.ones_like(w_sum))
     if config.diag_sigma:
         # stay on the static diagonal fast path: adapt the diagonal only
         var = jnp.einsum("k,ktu->u", omega, jnp.square(noise)) / T
@@ -212,7 +225,12 @@ def adapt_covariance(config: MPPIConfig, sigma: jax.Array, omega: jax.Array,
     else:
         cov = jnp.einsum("k,ktu,ktv->uv", omega, noise, noise) / T
     cov = cov + jnp.asarray(config.adaptive_cov_floor, dtype) * jnp.eye(nu, dtype=dtype)
-    return (1 - lr) * sigma + lr * cov
+    blended = (1 - lr) * sigma + lr * cov
+    if safe is not None:
+        # omega collapsed entirely onto injected rows: no sampling-noise
+        # information this iteration — keep the current sigma
+        blended = jnp.where(safe, blended, sigma)
+    return blended
 
 
 # ---------------------------------------------------------------------------
@@ -783,6 +801,23 @@ def _gate_adaptive_covariance(config: MPPIConfig, use_pallas, variant: str):
     return use_pallas
 
 
+def _gate_risk_alpha(config: MPPIConfig):
+    """Validate risk_alpha at the ops layer (mirrors the controller check at
+    controller.py) so a hand-built ``MPPIConfig`` gets the same loud error:
+    CVaR aggregation only exists on the M (rollout_samples) axis, so
+    ``risk_alpha > 0`` with ``M == 1`` would otherwise be silently ignored
+    by ``rollout_costs`` (its ``var_on`` branch is off at M=1)."""
+    if not 0.0 <= config.risk_alpha <= 1.0:
+        raise ValueError(
+            f"risk_alpha must be in [0, 1], got {config.risk_alpha}"
+        )
+    if config.risk_alpha > 0.0 and config.M < 2:
+        raise ValueError(
+            "risk_alpha needs rollout_samples (M) > 1: CVaR over the "
+            "stochastic rollouts is undefined with a single rollout"
+        )
+
+
 def _select_action(config: MPPIConfig, seq: jax.Array) -> jax.Array:
     """Return the first u_per_command actions, squeezed if 1 (mppi.py:271-275)."""
     action = seq[: config.u_per_command]
@@ -838,6 +873,12 @@ def make_mppi_step(
             f"(0 would leave the solve with no update at all)"
         )
     use_pallas = _gate_adaptive_covariance(config, use_pallas, "MPPI")
+    _gate_risk_alpha(config)
+    # rows excluded from the adaptive-covariance rank-mu estimate: the null
+    # action and sampler-injected trajectories are not sampling-noise draws
+    n_injected_rows = (1 if config.sample_null_action else 0) + (
+        config.num_specific_trajectories if sample_trajectories is not None else 0
+    )
     dyn = wrap_dynamics(config, dynamics)
     cost = wrap_cost(config, running_cost)
     dtype = config.dtype
@@ -923,7 +964,8 @@ def make_mppi_step(
             )
             if config.adaptive_covariance and it + 1 < config.num_iterations:
                 sigma = adapt_covariance(
-                    config, sigma, artifacts.omega, artifacts.noise
+                    config, sigma, artifacts.omega, artifacts.noise,
+                    n_injected=n_injected_rows,
                 )
 
         action = _select_action(config, U)
@@ -1119,6 +1161,12 @@ def make_smppi_step(
     # within-command covariance adaptation operates on the rate-space noise
     # ensemble (the space SMPPI samples in), same estimator as base MPPI
     use_pallas = _gate_adaptive_covariance(config, use_pallas, "SMPPI")
+    _gate_risk_alpha(config)
+    # rows excluded from the adaptive-covariance rank-mu estimate: the null
+    # action and sampler-injected trajectories are not sampling-noise draws
+    n_injected_rows = (1 if config.sample_null_action else 0) + (
+        config.num_specific_trajectories if sample_trajectories is not None else 0
+    )
     dyn = wrap_dynamics(config, dynamics)
     cost = wrap_cost(config, running_cost)
     dtype = config.dtype
@@ -1181,7 +1229,8 @@ def make_smppi_step(
             )
             if config.adaptive_covariance and it + 1 < config.num_iterations:
                 sigma = adapt_covariance(
-                    config, sigma, artifacts.omega, artifacts.noise
+                    config, sigma, artifacts.omega, artifacts.noise,
+                    n_injected=n_injected_rows,
                 )
 
         # integrate the lifted control (mppi.py:529-531)
@@ -1334,6 +1383,12 @@ def make_kmppi_step(
             f"config.num_iterations must be >= 1, got {config.num_iterations}"
         )
     use_pallas = _gate_adaptive_covariance(config, use_pallas, "KMPPI")
+    _gate_risk_alpha(config)
+    # rows excluded from the adaptive-covariance rank-mu estimate: the null
+    # action and sampler-injected trajectories are not sampling-noise draws
+    n_injected_rows = (1 if config.sample_null_action else 0) + (
+        config.num_specific_trajectories if sample_trajectories is not None else 0
+    )
     dyn = wrap_dynamics(config, dynamics)
     cost = wrap_cost(config, running_cost)
     dtype = config.dtype
@@ -1396,6 +1451,7 @@ def make_kmppi_step(
                 sigma = adapt_covariance(
                     config, sigma, artifacts.omega,
                     noise_theta.reshape(K, nsp, nu),
+                    n_injected=n_injected_rows,
                 )
 
         action = _select_action(config, U)
@@ -1577,6 +1633,13 @@ def make_batched_step(
     if config.num_iterations < 1:
         raise ValueError(
             f"config.num_iterations must be >= 1, got {config.num_iterations}"
+        )
+    if config.risk_alpha > 0.0 or config.M > 1:
+        raise ValueError(
+            "rollout_samples (M) > 1 / risk_alpha are not supported on "
+            "MPPI_Batched: the batched rollout has no stochastic-rollout (M) "
+            "axis (mppi.py:844-853); fold plant-dynamics uncertainty into "
+            "extra plants instead"
         )
     if config.adaptive_covariance:
         raise ValueError(

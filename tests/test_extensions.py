@@ -397,6 +397,36 @@ class TestRiskSensitiveCVaR:
             MPPI(linear_dynamics, quadratic_cost, 2, jnp.eye(2, dtype=DTYPE),
                  num_samples=16, horizon=4, seed=0, risk_alpha=0.5)
 
+    def test_ops_layer_validation(self):
+        """A hand-built MPPIConfig gets the same loud errors from the step
+        factories that the controller raises — risk_alpha>0 at M=1 would
+        otherwise be silently ignored (rollout_costs' var branch is off)."""
+        import dataclasses
+
+        from pytorch_mppi_tpu.config import MPPIConfig
+        from pytorch_mppi_tpu.ops import solve as SV
+
+        factories = (
+            lambda c: SV.make_mppi_step(c, linear_dynamics, quadratic_cost),
+            lambda c: SV.make_smppi_step(c, linear_dynamics, quadratic_cost),
+            lambda c: SV.make_kmppi_step(
+                dataclasses.replace(c, num_support_pts=3), linear_dynamics,
+                quadratic_cost),
+        )
+        for make in factories:
+            with pytest.raises(ValueError, match="rollout_samples"):
+                make(MPPIConfig(nx=2, nu=2, K=16, T=5, dtype=DTYPE,
+                                risk_alpha=0.5))
+            with pytest.raises(ValueError, match="risk_alpha"):
+                make(MPPIConfig(nx=2, nu=2, K=16, T=5, M=4, dtype=DTYPE,
+                                stochastic_dynamics=True, risk_alpha=1.5))
+        # the batched rollout has no M axis at all: loud, not silent
+        with pytest.raises(ValueError, match="MPPI_Batched"):
+            SV.make_batched_step(
+                MPPIConfig(nx=2, nu=2, K=16, T=5, M=4, dtype=DTYPE,
+                           stochastic_dynamics=True, risk_alpha=0.5),
+                2, linear_dynamics, quadratic_cost)
+
 
 class TestAdaptiveCovariance:
     """Within-command covariance adaptation (MPOPI, arXiv:2203.16633; net-new
@@ -514,6 +544,52 @@ class TestAdaptiveCovariance:
                      jnp.eye(2, dtype=DTYPE), num_samples=16, horizon=4,
                      seed=0, num_iterations=2, adaptive_covariance=True,
                      adaptive_cov_lr=bad)
+
+    def test_injected_rows_masked_from_estimate(self):
+        """Injected trajectories (null action / specific-action sampler) are
+        not draws from the sampling distribution — the null row's 'noise' is
+        -U — so the rank-mu estimate must exclude them: omega renormalizes
+        over the pure-noise rows, and if omega has collapsed entirely onto
+        injected rows, sigma is returned unchanged."""
+        from pytorch_mppi_tpu.config import MPPIConfig
+        from pytorch_mppi_tpu.ops.solve import adapt_covariance
+
+        cfg = MPPIConfig(nx=2, nu=2, K=8, T=3, dtype=DTYPE,
+                         adaptive_covariance=True, adaptive_cov_lr=0.5,
+                         sample_null_action=True)
+        sigma = 4.0 * jnp.eye(2, dtype=DTYPE)
+        key = jax.random.PRNGKey(0)
+        noise = jax.random.normal(key, (8, 3, 2), DTYPE)
+        # row 0 is the injected null row: give it a huge bogus 'noise'
+        noise = noise.at[0].set(100.0)
+
+        # (a) omega spread over all rows: masking row 0 must equal running
+        # the unmasked estimate on the pure-noise rows with renormalized omega
+        omega = jnp.full((8,), 1.0 / 8.0, DTYPE)
+        got = adapt_covariance(cfg, sigma, omega, noise, n_injected=1)
+        omega_pure = jnp.concatenate(
+            [jnp.zeros(1, DTYPE), jnp.full((7,), 1.0 / 7.0, DTYPE)])
+        want = adapt_covariance(cfg, sigma, omega_pure, noise, n_injected=0)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-6)
+        # the bogus injected row must not have dragged sigma toward 100^2
+        assert float(jnp.max(got)) < 50.0
+
+        # (b) omega collapsed onto the injected row: no information -> sigma
+        omega_null = jnp.zeros((8,), DTYPE).at[0].set(1.0)
+        kept = adapt_covariance(cfg, sigma, omega_null, noise, n_injected=1)
+        np.testing.assert_array_equal(np.asarray(kept), np.asarray(sigma))
+
+    def test_null_action_closed_loop_with_adaptation(self):
+        """sample_null_action + adaptive_covariance end-to-end: near the goal
+        omega concentrates on the null row; sigma must stay finite and the
+        controller must still converge (the pre-fix behavior blended sigma
+        toward U.U^T/T)."""
+        _, s = self._run(SEED, adaptive_covariance=True, steps=12,
+                         sample_null_action=True)
+        assert jnp.isfinite(s).all()
+        d = float(jnp.linalg.norm((GOAL - s).astype(jnp.float64)))
+        assert d < 2.0, d
 
 
 class TestPrngAutoDefault:
