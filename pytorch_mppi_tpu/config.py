@@ -105,6 +105,23 @@ class MPPIConfig:
     # PSD guard added to the ensemble estimate so a collapsed ensemble
     # (omega concentrated on one sample) can never drive sigma singular
     adaptive_cov_floor: float = 1e-6
+    # TPU-native extension (gradient-accelerated MPPI, cf. the Gauss-Newton
+    # MPPI line of work, arXiv:2512.04579; no reference counterpart — torch
+    # autograd through the rollout is possible but the reference never does
+    # it, while here the whole solve is already differentiable by design,
+    # docs/DESIGN.md §8): after the sampling update(s), descend the nominal
+    # sequence directly on the task cost J(U) = rollout cost of U (running +
+    # terminal + variance/CVaR terms, exactly what rollout_costs computes)
+    # with this many projected-Adam steps, clamping into [u_min, u_max] after
+    # every step.  The sampling stage provides global exploration; the
+    # gradient stage polishes the local optimum the samples found — at small
+    # K this buys large quality gains for a few extra rollouts' FLOPs.  The
+    # refined U is what command() returns AND what shifts into the next
+    # command.  0 = off (bit-identical to the reference semantics).  MPPI
+    # only (SMPPI/KMPPI sample in lifted spaces; the factories reject it).
+    gradient_refinement_steps: int = 0
+    # Adam step size of the refinement, in action units
+    gradient_refinement_lr: float = 0.05
     # Diagonal-covariance fast path, detected statically at construction
     # (mirrors the reference's init-time diag detection, mppi.py:131-139):
     # the noise correlation reduces to an elementwise lane scale instead of

@@ -246,6 +246,8 @@ class MPPI:
         num_iterations: int = 1,
         adaptive_covariance: bool = False,
         adaptive_cov_lr: float = 0.5,
+        gradient_refinement_steps: int = 0,
+        gradient_refinement_lr: float = 0.05,
         noise_rho: float = 0.0,
         scan_unroll: int = 1,
         dynamics_params=None,
@@ -311,6 +313,10 @@ class MPPI:
         # tuners/setters keep full control of the base covariance
         self.adaptive_covariance = bool(adaptive_covariance)
         self.adaptive_cov_lr = float(adaptive_cov_lr)
+        # opt-in gradient polish of the nominal after the sampling stage
+        # (validated by the step factory, ops/solve.py _gate_gradient_refinement)
+        self.gradient_refinement_steps = int(gradient_refinement_steps)
+        self.gradient_refinement_lr = float(gradient_refinement_lr)
         # AR(1) temporal correlation of the exploration noise (0 = white)
         self.noise_rho = _validate_rho(noise_rho)
         # rollout-scan unroll factor (0 = full): ~18% faster solves at full
@@ -405,6 +411,8 @@ class MPPI:
             num_iterations=self.num_iterations,
             adaptive_covariance=self.adaptive_covariance,
             adaptive_cov_lr=self.adaptive_cov_lr,
+            gradient_refinement_steps=self.gradient_refinement_steps,
+            gradient_refinement_lr=self.gradient_refinement_lr,
             noise_rho=self.noise_rho,
             diag_sigma=self._diag_sigma,
             scan_unroll=self.scan_unroll,

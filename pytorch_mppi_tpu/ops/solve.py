@@ -818,6 +818,104 @@ def _gate_risk_alpha(config: MPPIConfig):
         )
 
 
+def _gate_gradient_refinement(config: MPPIConfig, variant: str):
+    """Validate the gradient-refinement config (cf. ``make_nominal_refiner``).
+    MPPI refines its nominal U directly; SMPPI/KMPPI sample in lifted spaces
+    (action rates / kernel support points) where a bound-projected descent on
+    U would bypass their structure, and MPPI_Batched shares one solve across
+    plants — all three reject the flag loudly instead of silently ignoring it."""
+    if config.gradient_refinement_steps == 0:
+        return
+    if config.gradient_refinement_steps < 0:
+        raise ValueError(
+            "gradient_refinement_steps must be >= 0, got "
+            f"{config.gradient_refinement_steps}"
+        )
+    if not (config.gradient_refinement_lr > 0.0 and
+            math.isfinite(config.gradient_refinement_lr)):
+        raise ValueError(
+            "gradient_refinement_lr must be a positive finite float, got "
+            f"{config.gradient_refinement_lr}"
+        )
+    if variant != "MPPI":
+        raise ValueError(
+            f"gradient_refinement_steps is only supported on MPPI, not "
+            f"{variant}: SMPPI/KMPPI sample in lifted spaces (rates / support "
+            f"points) and MPPI_Batched shares one solve across plants; use "
+            f"plain MPPI controllers if you need the gradient stage"
+        )
+
+
+def make_nominal_refiner(
+    config: MPPIConfig,
+    dynamics: Callable,  # already wrapped (see wrap_dynamics)
+    running_cost: Callable,  # already wrapped (see wrap_cost)
+    terminal_state_cost: Optional[Callable],
+    specific_dynamics: Optional[Callable],
+) -> Callable:
+    """Projected-Adam descent of the nominal sequence on the task cost
+    (gradient-accelerated MPPI; cf. the Gauss-Newton MPPI line of work,
+    arXiv:2512.04579 — net-new vs the reference, which never differentiates
+    through its rollout).
+
+    ``J(U)`` is exactly what :func:`rollout_costs` computes for the single
+    trajectory ``U`` (running + terminal cost, M-averaged with variance /
+    CVaR terms under stochastic dynamics) — so the gradient stage optimizes
+    the same objective the sampling stage weighted, minus the perturbation
+    cost, which is identically zero at the nominal (noise = 0).  Each step
+    projects back into ``[u_min, u_max]`` (the reference never re-clamps
+    U after its omega update; the *refined* U respects bounds by
+    construction, which only strengthens the contract for opt-in users).
+    Under ``stochastic_dynamics`` the key is held fixed across the descent
+    (common random numbers), so the gradient walks one consistent sample of
+    the dynamics noise rather than chasing a re-randomized objective.
+
+    Differentiation runs through the same ``lax.scan`` rollout the solve
+    uses: XLA fuses the forward and reverse passes per step, so one
+    refinement step costs roughly three K=1 rollouts — negligible next to
+    the K-sample stage for any production K.
+    """
+    steps = config.gradient_refinement_steps
+    dtype = config.dtype
+    b1, b2, eps = 0.9, 0.999, 1e-8
+
+    def refine(params: MPPIParams, U: jax.Array, x0, key, dyn_params=None):
+        lr = jnp.asarray(config.gradient_refinement_lr, dtype)
+        lo = jnp.broadcast_to(params.u_min, (config.nu,)).astype(dtype)
+        hi = jnp.broadcast_to(params.u_max, (config.nu,)).astype(dtype)
+        # one rollout per start state when x0 is a (K, nx) batch (the solve
+        # accepts per-sample starts, mppi.py:302-305): J averages over them
+        Kx = x0.shape[0] if x0.ndim == 2 else 1
+
+        def J(U_):
+            pert = jnp.broadcast_to(U_[None], (Kx,) + U_.shape)
+            cost_total, _, _ = rollout_costs(
+                config, dynamics, running_cost, terminal_state_cost,
+                specific_dynamics, params, x0, pert, key,
+                dyn_params=dyn_params,
+            )
+            return jnp.mean(cost_total)
+
+        grad_J = jax.grad(J)
+
+        def body(i, carry):
+            U_, m, v = carry
+            g = grad_J(U_)
+            m = b1 * m + (1 - b1) * g
+            v = b2 * v + (1 - b2) * jnp.square(g)
+            t = jnp.asarray(i + 1, dtype)
+            m_hat = m / (1 - jnp.power(jnp.asarray(b1, dtype), t))
+            v_hat = v / (1 - jnp.power(jnp.asarray(b2, dtype), t))
+            U_ = U_ - lr * m_hat / (jnp.sqrt(v_hat) + jnp.asarray(eps, dtype))
+            return _bound(U_, lo, hi), m, v
+
+        zeros = jnp.zeros_like(U)
+        U_ref, _, _ = lax.fori_loop(0, steps, body, (U, zeros, zeros))
+        return U_ref
+
+    return refine
+
+
 def _select_action(config: MPPIConfig, seq: jax.Array) -> jax.Array:
     """Return the first u_per_command actions, squeezed if 1 (mppi.py:271-275)."""
     action = seq[: config.u_per_command]
@@ -874,6 +972,7 @@ def make_mppi_step(
         )
     use_pallas = _gate_adaptive_covariance(config, use_pallas, "MPPI")
     _gate_risk_alpha(config)
+    _gate_gradient_refinement(config, "MPPI")
     # rows excluded from the adaptive-covariance rank-mu estimate: the null
     # action and sampler-injected trajectories are not sampling-noise draws
     n_injected_rows = (1 if config.sample_null_action else 0) + (
@@ -937,6 +1036,17 @@ def make_mppi_step(
     K, T, nu = config.K, config.T, config.nu
     D = T * nu
 
+    # opt-in gradient polish of the nominal after the sampling stage; plain
+    # XLA autodiff, so it composes with every route above (incl. the fused
+    # kernels — refinement runs on their returned U)
+    refine_nominal = (
+        make_nominal_refiner(
+            config, dyn, cost, terminal_state_cost, specific_dynamics
+        )
+        if config.gradient_refinement_steps > 0
+        else None
+    )
+
     def _solve(params: MPPIParams, state: MPPIState, x0, info, shift: bool, dyn_params=None):
         U = state.U
         if shift:
@@ -967,6 +1077,16 @@ def make_mppi_step(
                     config, sigma, artifacts.omega, artifacts.noise,
                     n_injected=n_injected_rows,
                 )
+
+        if refine_nominal is not None:
+            # gradient polish of the sampled optimum (make_nominal_refiner);
+            # the key split only happens on this opt-in path, so steps=0
+            # solves keep a bit-identical key stream
+            if config.stochastic_dynamics:
+                key, k_ref = jax.random.split(key)
+            else:
+                k_ref = key  # unused by a deterministic rollout
+            U = refine_nominal(params, U, x0, k_ref, dyn_params)
 
         action = _select_action(config, U)
         return MPPIState(U=U, key=key), action, artifacts
@@ -1162,6 +1282,7 @@ def make_smppi_step(
     # ensemble (the space SMPPI samples in), same estimator as base MPPI
     use_pallas = _gate_adaptive_covariance(config, use_pallas, "SMPPI")
     _gate_risk_alpha(config)
+    _gate_gradient_refinement(config, "SMPPI")
     # rows excluded from the adaptive-covariance rank-mu estimate: the null
     # action and sampler-injected trajectories are not sampling-noise draws
     n_injected_rows = (1 if config.sample_null_action else 0) + (
@@ -1384,6 +1505,7 @@ def make_kmppi_step(
         )
     use_pallas = _gate_adaptive_covariance(config, use_pallas, "KMPPI")
     _gate_risk_alpha(config)
+    _gate_gradient_refinement(config, "KMPPI")
     # rows excluded from the adaptive-covariance rank-mu estimate: the null
     # action and sampler-injected trajectories are not sampling-noise draws
     n_injected_rows = (1 if config.sample_null_action else 0) + (
@@ -1641,6 +1763,7 @@ def make_batched_step(
             "axis (mppi.py:844-853); fold plant-dynamics uncertainty into "
             "extra plants instead"
         )
+    _gate_gradient_refinement(config, "MPPI_Batched")
     if config.adaptive_covariance:
         raise ValueError(
             "adaptive_covariance is not supported on MPPI_Batched: the N "

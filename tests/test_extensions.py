@@ -592,6 +592,135 @@ class TestAdaptiveCovariance:
         assert d < 2.0, d
 
 
+class TestGradientRefinement:
+    """Opt-in gradient polish of the nominal sequence after the sampling
+    stage (gradient-accelerated MPPI, cf. arXiv:2512.04579; net-new — the
+    whole solve is differentiable by design, DESIGN.md §8, so the descent is
+    plain jax.grad through the same rollout_costs the sampling stage uses)."""
+
+    U_MAX = jnp.array([1.0, 1.0], dtype=DTYPE)
+
+    def _run(self, refine_steps, seed=0, K=8, steps=10, lr=0.1, **kw):
+        ctrl = MPPI(linear_dynamics, quadratic_cost, 2,
+                    0.5 * jnp.eye(2, dtype=DTYPE), num_samples=K, horizon=8,
+                    lambda_=1.0, seed=seed, u_max=self.U_MAX,
+                    gradient_refinement_steps=refine_steps,
+                    gradient_refinement_lr=lr, **kw)
+        s = jnp.array([-3.0, -2.0], DTYPE)
+        for _ in range(steps):
+            a = ctrl.command(s)
+            s = linear_dynamics(s, a)
+        return float(jnp.linalg.norm((GOAL - s).astype(jnp.float64))), ctrl
+
+    def test_small_k_quality_improves(self):
+        """At starved K=8 the sampling stage alone tracks poorly; 20 descent
+        steps must sharply improve the closed loop (measured ~6x on this
+        fixture; asserted at 2x with seed-averaging headroom)."""
+        base = np.mean([self._run(0, seed=i)[0] for i in range(3)])
+        ref = np.mean([self._run(20, seed=i)[0] for i in range(3)])
+        assert ref < 0.5 * base, (ref, base)
+
+    def test_nominal_cost_decreases_exactly(self):
+        """Same seed, deterministic dynamics: the sampling stage of the
+        refined controller is bit-identical to the unrefined one (the key
+        split only happens under stochastic dynamics), so the descent's
+        improvement is measurable exactly: J(U_refined) <= J(U_sampled) on
+        the true task cost of the nominal rollout."""
+        def J(ctrl, x0):
+            s, c = x0, 0.0
+            for t in range(ctrl.T):
+                s = linear_dynamics(s, ctrl.U[t])
+                c = c + quadratic_cost(s, ctrl.U[t])
+            return float(c)
+
+        x0 = jnp.array([-3.0, -2.0], DTYPE)
+        _, c_base = self._run(0, steps=1)
+        _, c_ref = self._run(12, steps=1)
+        assert J(c_ref, x0) <= J(c_base, x0) + 1e-9
+
+    def test_bounds_projected(self):
+        """Every descent step projects U back into [u_min, u_max] — the
+        refined nominal respects bounds by construction."""
+        _, ctrl = self._run(20, lr=0.5)
+        assert float(jnp.max(jnp.abs(ctrl.U))) <= float(self.U_MAX[0]) + 1e-9
+
+    def test_deterministic(self):
+        a, _ = self._run(5, seed=7)
+        b, _ = self._run(5, seed=7)
+        assert a == b
+
+    def test_stochastic_m_risk_composes(self):
+        """Under stochastic dynamics the descent holds the PRNG key fixed
+        (common random numbers) and differentiates through the M-averaged /
+        CVaR-aggregated cost — the exact objective the sampling stage used."""
+        def stoch_dyn(s, u, key):
+            eps = jax.random.normal(key, s.shape, s.dtype)
+            return linear_dynamics(s, u) + 0.01 * eps
+
+        ctrl = MPPI(stoch_dyn, quadratic_cost, 2,
+                    0.5 * jnp.eye(2, dtype=DTYPE), num_samples=8, horizon=8,
+                    lambda_=1.0, seed=0, u_max=self.U_MAX,
+                    stochastic_dynamics=True, rollout_samples=4,
+                    risk_alpha=0.5, gradient_refinement_steps=5,
+                    gradient_refinement_lr=0.1)
+        s = jnp.array([-3.0, -2.0], DTYPE)
+        for _ in range(8):
+            a = ctrl.command(s)
+            s = linear_dynamics(s, a)
+        assert jnp.isfinite(s).all()
+        assert jnp.isfinite(ctrl.U).all()
+
+    def test_terminal_cost_in_objective(self):
+        """With a terminal cost the descent optimizes it too (rollout_costs
+        carries it); the last refined action must pull the terminal state
+        toward the goal rather than only the running cost."""
+        def terminal(states, actions):
+            return 50.0 * jnp.sum((states[..., -1, :] - GOAL) ** 2, axis=-1)
+
+        d_base, _ = self._run(0, terminal_state_cost=terminal)
+        d_ref, _ = self._run(20, terminal_state_cost=terminal)
+        assert d_ref < d_base + 1e-9
+
+    def test_variant_gates(self):
+        from pytorch_mppi_tpu import KMPPI, SMPPI
+        from pytorch_mppi_tpu.config import MPPIConfig
+        from pytorch_mppi_tpu.ops import solve as SV
+
+        for cls, kw in ((SMPPI, dict(w_action_seq_cost=0.1)),
+                        (KMPPI, dict(num_support_pts=4))):
+            with pytest.raises(ValueError, match="only supported on MPPI"):
+                cls(linear_dynamics, quadratic_cost, 2, jnp.eye(2, dtype=DTYPE),
+                    num_samples=8, horizon=8, gradient_refinement_steps=2, **kw)
+        with pytest.raises(ValueError, match="only supported on MPPI"):
+            SV.make_batched_step(
+                MPPIConfig(nx=2, nu=2, K=8, T=5, dtype=DTYPE,
+                           gradient_refinement_steps=2),
+                2, linear_dynamics, quadratic_cost)
+
+    def test_validation(self):
+        from pytorch_mppi_tpu.config import MPPIConfig
+        from pytorch_mppi_tpu.ops import solve as SV
+
+        with pytest.raises(ValueError, match="gradient_refinement_steps"):
+            SV.make_mppi_step(
+                MPPIConfig(nx=2, nu=2, K=8, T=5, dtype=DTYPE,
+                           gradient_refinement_steps=-1),
+                linear_dynamics, quadratic_cost)
+        for bad_lr in (0.0, -0.1, float("inf"), float("nan")):
+            with pytest.raises(ValueError, match="gradient_refinement_lr"):
+                MPPI(linear_dynamics, quadratic_cost, 2,
+                     jnp.eye(2, dtype=DTYPE), num_samples=8, horizon=5,
+                     gradient_refinement_steps=2,
+                     gradient_refinement_lr=bad_lr)
+
+    def test_u_scale_respected(self):
+        """rollout_costs scales actions internally, so the descent sees the
+        same u_scale-scaled trajectory the controller executes."""
+        d, ctrl = self._run(10, u_scale=2.0)
+        assert np.isfinite(d)
+        assert float(jnp.max(jnp.abs(ctrl.U))) <= float(self.U_MAX[0]) + 1e-9
+
+
 class TestPrngAutoDefault:
     def test_auto_resolves_to_threefry_on_cpu(self):
         """prng_impl='auto' (the default) keeps threefry off-TPU, so the CPU

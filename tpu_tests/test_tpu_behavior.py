@@ -224,6 +224,30 @@ class TestVariantsOnChip:
         # independent plants get different actions
         assert not np.allclose(np.asarray(a[0]), np.asarray(a[2]))
 
+    def test_gradient_refinement_composes_with_fused_kernel(self):
+        """use_pallas=True + gradient_refinement_steps: the descent is plain
+        XLA autodiff applied to the fused kernel's returned U, so the two
+        compose in one dispatch on-chip (docs/DESIGN.md §10).  At a starved
+        K the refined controller must track markedly tighter."""
+        u_max = jnp.array([1.0, 1.0], DT)
+
+        def run(steps):
+            ctrl = _ctrl(num_samples=16, horizon=8, u_max=u_max,
+                         use_pallas=True, gradient_refinement_steps=steps,
+                         gradient_refinement_lr=0.1)
+            s = START
+            for _ in range(10):
+                a = ctrl.command(s)
+                s = dyn(s, a)
+            return float(jnp.linalg.norm(GOAL - s)), ctrl
+
+        d_base, _ = run(0)
+        d_ref, ctrl = run(20)
+        assert np.isfinite(d_ref)
+        assert d_ref < d_base + 1e-6, (d_ref, d_base)
+        # the refined nominal respects bounds by construction
+        assert float(jnp.max(jnp.abs(ctrl.U))) <= 1.0 + 1e-5
+
 
 class TestCrossBackend:
     """f32 numerics pinned against the CPU backend in the same process: the
