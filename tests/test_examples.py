@@ -97,3 +97,20 @@ class TestDeployServing:
         import numpy as np
 
         assert r["steps"] == 8 and np.isfinite(r["final_angle"])
+
+
+class TestGradientRefinementExample:
+    def test_starved_k_rescued(self):
+        """The A/B at tiny shapes: the refined starved-K controller must beat
+        the unrefined one on accumulated cost (the full 150-step swing-up
+        claim is the example's own __main__ assert)."""
+        import gradient_refinement
+
+        rows = gradient_refinement.main(
+            ["--samples", "5", "--steps", "60", "--seeds", "2"]
+        )
+        (_, _, cost_base), (_, angle_ref, cost_ref) = rows
+        assert cost_ref < cost_base
+        import numpy as np
+
+        assert np.isfinite(angle_ref)
