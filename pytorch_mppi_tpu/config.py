@@ -105,6 +105,20 @@ class MPPIConfig:
     # PSD guard added to the ensemble estimate so a collapsed ensemble
     # (omega concentrated on one sample) can never drive sigma singular
     adaptive_cov_floor: float = 1e-6
+    # TPU-native extension (iCEM-style elite reuse, Pinneri et al. 2020,
+    # arXiv:2008.06389 §3; no reference counterpart): keep the num_elites
+    # lowest-cost perturbed trajectories from the previous optimization
+    # cycle, time-shift them like the nominal sequence, and re-inject them
+    # as sample rows of the next cycle (after the null-action / specific-
+    # sampler rows).  The elite rows survive distribution shift: a good
+    # trajectory found at step t stays in the candidate set at t+1 even if
+    # the re-centered Gaussian would be unlikely to re-draw it — at small K
+    # this is a large sample-efficiency win.  Elites thread through
+    # ``MPPIState.elites`` ((num_elites, T, nu)), update after every
+    # iteration (including across ``num_iterations`` within one command),
+    # and are excluded from the adaptive-covariance rank-mu estimate like
+    # all injected rows.  0 = off (reference semantics).  MPPI only.
+    num_elites: int = 0
     # TPU-native extension (gradient-accelerated MPPI, cf. the Gauss-Newton
     # MPPI line of work, arXiv:2512.04579; no reference counterpart — torch
     # autograd through the rollout is possible but the reference never does
@@ -221,6 +235,11 @@ class MPPIState(NamedTuple):
 
     U: jax.Array  # (T, nu) nominal control sequence
     key: jax.Array  # PRNG key
+    # (num_elites, T, nu) best perturbed trajectories of the previous cycle
+    # (iCEM-style reuse, MPPIConfig.num_elites), or None when the feature is
+    # off — the default keeps old checkpoints loadable (decode fills missing
+    # trailing NamedTuple fields from defaults)
+    elites: Optional[jax.Array] = None
 
 
 class SMPPIState(NamedTuple):

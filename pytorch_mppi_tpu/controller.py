@@ -248,6 +248,7 @@ class MPPI:
         adaptive_cov_lr: float = 0.5,
         gradient_refinement_steps: int = 0,
         gradient_refinement_lr: float = 0.05,
+        num_elites: int = 0,
         noise_rho: float = 0.0,
         scan_unroll: int = 1,
         dynamics_params=None,
@@ -317,6 +318,10 @@ class MPPI:
         # (validated by the step factory, ops/solve.py _gate_gradient_refinement)
         self.gradient_refinement_steps = int(gradient_refinement_steps)
         self.gradient_refinement_lr = float(gradient_refinement_lr)
+        # iCEM-style elite reuse (arXiv:2008.06389): re-inject the best
+        # trajectories of the previous cycle as sample rows (validated by the
+        # step factory, ops/solve.py _gate_elites)
+        self.num_elites = int(num_elites)
         # AR(1) temporal correlation of the exploration noise (0 = white)
         self.noise_rho = _validate_rho(noise_rho)
         # rollout-scan unroll factor (0 = full): ~18% faster solves at full
@@ -413,6 +418,7 @@ class MPPI:
             adaptive_cov_lr=self.adaptive_cov_lr,
             gradient_refinement_steps=self.gradient_refinement_steps,
             gradient_refinement_lr=self.gradient_refinement_lr,
+            num_elites=self.num_elites,
             noise_rho=self.noise_rho,
             diag_sigma=self._diag_sigma,
             scan_unroll=self.scan_unroll,
@@ -454,7 +460,17 @@ class MPPI:
         ))
 
     def _initial_state(self, U0):
-        return MPPIState(U=U0, key=self._next_key())
+        return MPPIState(
+            U=U0, key=self._next_key(), elites=self._initial_elites(U0)
+        )
+
+    def _initial_elites(self, U0):
+        """Cold-start elites = copies of the nominal sequence (zero-noise rows;
+        they lose to any better fresh sample on the first solve and are
+        replaced by the genuine top-k immediately)."""
+        if self.num_elites <= 0:
+            return None
+        return jnp.broadcast_to(U0[None], (self.num_elites,) + U0.shape) + 0
 
     def _next_key(self):
         self._key, sub = jax.random.split(self._key)
@@ -546,6 +562,11 @@ class MPPI:
         """Shift the nominal trajectory forward one step (mppi.py:232-238)."""
         U = jnp.roll(self._state.U, -1, axis=0).at[-1].set(self._params.u_init)
         self._state = self._state._replace(U=U)
+        if getattr(self._state, "elites", None) is not None:
+            # the stored elite plans advance with the receding horizon too
+            self._state = self._state._replace(
+                elites=_solve._shift_elites(self._state.elites, self._params.u_init)
+            )
 
     def change_horizon(self, horizon: int):
         """Truncate/extend U and re-specialize the solver (mppi.py:277-284)."""
@@ -562,10 +583,18 @@ class MPPI:
             self._build_config()
             self._build_step_fns()
         self._state = self._state._replace(U=U)
+        if getattr(self._state, "elites", None) is not None:
+            # a horizon change invalidates the stored (E, T_old, nu) plans;
+            # restart them from the adjusted nominal
+            self._state = self._state._replace(elites=self._initial_elites(U))
 
     def reset(self):
         """Clear controller state after a trial: resample U (mppi.py:286-290)."""
-        self._state = self._state._replace(U=self._sample_noise_eager((self.T,)))
+        U0 = self._sample_noise_eager((self.T,))
+        self._state = self._state._replace(U=U0)
+        if getattr(self._state, "elites", None) is not None:
+            # trial boundaries must not leak plans from the previous trial
+            self._state = self._state._replace(elites=self._initial_elites(U0))
 
     def command(self, state, shift_nominal_trajectory: bool = True, info=None):
         """One MPC solve (reference mppi.py:240-252).

@@ -260,12 +260,14 @@ def transposed_eligible(config: MPPIConfig, has_terminal: bool,
                         has_specific_sampler: bool, mesh) -> bool:
     """Static eligibility for :func:`make_transposed_fused_solve` (the jaxpr
     support probe happens inside the factory): M=1, no rollout storage, no
-    user-injected rows (``sample_null_action`` is handled in-kernel),
-    deterministic unparameterized dynamics, f32, unsharded."""
+    user-injected rows (``sample_null_action`` is handled in-kernel; elite
+    reuse needs the materialized perturbed set for row injection and top-k
+    selection), deterministic unparameterized dynamics, f32, unsharded."""
     return (
         config.M == 1
         and not has_terminal
         and not has_specific_sampler
+        and config.num_elites == 0
         and not config.stochastic_dynamics
         and not config.parameterized_dynamics
         and mesh is None

@@ -422,10 +422,13 @@ def inject_specific_actions(
     perturbed_action: jax.Array,  # (K, T_or_nsp, nu)
     x0: jax.Array,
     info,
+    elites: Optional[jax.Array] = None,  # (num_elites, T, nu)
 ):
     """Overwrite leading rows of the sample set with domain-knowledge trajectories
-    (reference ``_sample_specific_actions``, mppi.py:387-400).  Row indices are
-    static, so this lowers to compile-time slice updates."""
+    (reference ``_sample_specific_actions``, mppi.py:387-400) and, when elite
+    reuse is on (``MPPIConfig.num_elites``, iCEM-style), with the shifted best
+    trajectories of the previous cycle.  Row indices are static, so this lowers
+    to compile-time slice updates."""
     i = 0
     if config.sample_null_action:
         perturbed_action = perturbed_action.at[0].set(0.0)
@@ -437,6 +440,11 @@ def inject_specific_actions(
             n, perturbed_action.shape[1], perturbed_action.shape[2]
         )
         perturbed_action = lax.dynamic_update_slice(perturbed_action, acts, (i, 0, 0))
+        i += n
+    if elites is not None and config.num_elites > 0:
+        perturbed_action = lax.dynamic_update_slice(
+            perturbed_action, elites.astype(perturbed_action.dtype), (i, 0, 0)
+        )
     return perturbed_action
 
 
@@ -743,8 +751,9 @@ def _route_transposed_solve(config, builder, terminal_state_cost,
     ):
         logger.warning(
             "use_pallas requested but the %s configuration is ineligible "
-            "(terminal cost / specific sampler / M>1 / stochastic / "
-            "parameterized / non-f32 / sharded); using the XLA scan path",
+            "(terminal cost / specific sampler / elite reuse / M>1 / "
+            "stochastic / parameterized / non-f32 / sharded); using the XLA "
+            "scan path",
             variant,
         )
         return None
@@ -846,6 +855,38 @@ def _gate_gradient_refinement(config: MPPIConfig, variant: str):
         )
 
 
+def _gate_elites(config: MPPIConfig, variant: str):
+    """Validate elite reuse (``MPPIConfig.num_elites``, iCEM-style) at the ops
+    layer.  MPPI re-injects elites directly as action-space sample rows;
+    SMPPI/KMPPI sample in lifted spaces (action rates / kernel support points)
+    where an action-space elite has no row to occupy, and MPPI_Batched shares
+    one sample set across plants — all three reject the flag loudly instead
+    of silently ignoring it."""
+    if config.num_elites == 0:
+        return
+    if config.num_elites < 0:
+        raise ValueError(f"num_elites must be >= 0, got {config.num_elites}")
+    if variant != "MPPI":
+        raise ValueError(
+            f"num_elites is only supported on MPPI, not {variant}: SMPPI/"
+            f"KMPPI sample in lifted spaces (rates / support points) with no "
+            f"action-space rows to re-inject, and MPPI_Batched shares one "
+            f"sample set across plants; use plain MPPI controllers for "
+            f"elite reuse"
+        )
+    injected = (
+        config.num_elites
+        + (1 if config.sample_null_action else 0)
+        + config.num_specific_trajectories
+    )
+    if injected >= config.K:
+        raise ValueError(
+            f"num_elites={config.num_elites} plus the other injected rows "
+            f"(null action + specific trajectories = {injected - config.num_elites}) "
+            f"fills all K={config.K} samples; leave room for fresh noise rows"
+        )
+
+
 def make_nominal_refiner(
     config: MPPIConfig,
     dynamics: Callable,  # already wrapped (see wrap_dynamics)
@@ -929,6 +970,12 @@ def _shift_U(U: jax.Array, u_init: jax.Array) -> jax.Array:
     return jnp.roll(U, -1, axis=0).at[-1].set(u_init)
 
 
+def _shift_elites(elites: jax.Array, u_init: jax.Array) -> jax.Array:
+    """Time-shift the stored elite trajectories like the nominal sequence:
+    the plan found for [t, t+T) becomes a candidate for [t+1, t+T+1)."""
+    return jnp.roll(elites, -1, axis=1).at[:, -1].set(u_init)
+
+
 def make_mppi_step(
     config: MPPIConfig,
     dynamics: Callable,
@@ -973,10 +1020,14 @@ def make_mppi_step(
     use_pallas = _gate_adaptive_covariance(config, use_pallas, "MPPI")
     _gate_risk_alpha(config)
     _gate_gradient_refinement(config, "MPPI")
+    _gate_elites(config, "MPPI")
     # rows excluded from the adaptive-covariance rank-mu estimate: the null
-    # action and sampler-injected trajectories are not sampling-noise draws
-    n_injected_rows = (1 if config.sample_null_action else 0) + (
-        config.num_specific_trajectories if sample_trajectories is not None else 0
+    # action, sampler-injected trajectories and re-injected elites are not
+    # sampling-noise draws
+    n_injected_rows = (
+        (1 if config.sample_null_action else 0)
+        + (config.num_specific_trajectories if sample_trajectories is not None else 0)
+        + config.num_elites
     )
     dyn = wrap_dynamics(config, dynamics)
     cost = wrap_cost(config, running_cost)
@@ -1049,8 +1100,12 @@ def make_mppi_step(
 
     def _solve(params: MPPIParams, state: MPPIState, x0, info, shift: bool, dyn_params=None):
         U = state.U
+        elites = state.elites
         if shift:
             U = _shift_U(U, params.u_init)
+            if config.num_elites > 0:
+                # the elite plans advance one step with the receding horizon
+                elites = _shift_elites(elites, params.u_init)
         key = state.key
 
         x0 = jnp.asarray(x0, dtype)
@@ -1070,8 +1125,14 @@ def make_mppi_step(
                 if config.adaptive_covariance else params
             )
             U, artifacts = _one_iteration(
-                it_params, U, x0, info, k_noise, k_roll, dyn_params
+                it_params, U, elites, x0, info, k_noise, k_roll, dyn_params
             )
+            if config.num_elites > 0:
+                # iCEM-style elite refresh: the lowest-total-cost rows of THIS
+                # cycle (injected elites compete with the fresh noise rows and
+                # survive only on merit) seed the next iteration / command
+                _, eidx = lax.top_k(-artifacts.cost_total, config.num_elites)
+                elites = artifacts.perturbed_action[eidx]
             if config.adaptive_covariance and it + 1 < config.num_iterations:
                 sigma = adapt_covariance(
                     config, sigma, artifacts.omega, artifacts.noise,
@@ -1089,7 +1150,7 @@ def make_mppi_step(
             U = refine_nominal(params, U, x0, k_ref, dyn_params)
 
         action = _select_action(config, U)
-        return MPPIState(U=U, key=key), action, artifacts
+        return MPPIState(U=U, key=key, elites=elites), action, artifacts
 
     def _one_iteration_fused(params, U, x0, k_noise):
         """The whole iteration as one transposed-layout kernel call: derive
@@ -1130,8 +1191,10 @@ def make_mppi_step(
         )
         return U_new, artifacts
 
-    def _one_iteration(params, U, x0, info, k_noise, k_roll, dyn_params):
+    def _one_iteration(params, U, elites, x0, info, k_noise, k_roll, dyn_params):
         if transposed_solve is not None:
+            # num_elites > 0 is ineligible for the fused kernel (elite rows
+            # need the materialized perturbed set), so elites is None here
             return _one_iteration_fused(params, U, x0, k_noise)
         # The sampling/bounding/weighting pipeline runs in flat (K, T·nu) 2-D
         # layout: TPU tiles the two minor dims (8, 128), so a (K, T, nu) tensor
@@ -1147,11 +1210,12 @@ def make_mppi_step(
         noise2 = cset(noise2, sample_axis)
         U2 = U.reshape(D)
         perturbed2 = U2[None] + noise2
-        if config.sample_null_action or (
+        if config.sample_null_action or config.num_elites > 0 or (
             sample_trajectories is not None and config.num_specific_trajectories > 0
         ):
             perturbed = inject_specific_actions(
-                config, sample_trajectories, perturbed2.reshape(K, T, nu), x0, info
+                config, sample_trajectories, perturbed2.reshape(K, T, nu), x0, info,
+                elites=elites,
             )
             perturbed2 = perturbed.reshape(K, D)
         lo2 = jnp.tile(jnp.broadcast_to(params.u_min, (nu,)).astype(dtype), T)
@@ -1283,6 +1347,7 @@ def make_smppi_step(
     use_pallas = _gate_adaptive_covariance(config, use_pallas, "SMPPI")
     _gate_risk_alpha(config)
     _gate_gradient_refinement(config, "SMPPI")
+    _gate_elites(config, "SMPPI")
     # rows excluded from the adaptive-covariance rank-mu estimate: the null
     # action and sampler-injected trajectories are not sampling-noise draws
     n_injected_rows = (1 if config.sample_null_action else 0) + (
@@ -1506,6 +1571,7 @@ def make_kmppi_step(
     use_pallas = _gate_adaptive_covariance(config, use_pallas, "KMPPI")
     _gate_risk_alpha(config)
     _gate_gradient_refinement(config, "KMPPI")
+    _gate_elites(config, "KMPPI")
     # rows excluded from the adaptive-covariance rank-mu estimate: the null
     # action and sampler-injected trajectories are not sampling-noise draws
     n_injected_rows = (1 if config.sample_null_action else 0) + (
@@ -1764,6 +1830,7 @@ def make_batched_step(
             "extra plants instead"
         )
     _gate_gradient_refinement(config, "MPPI_Batched")
+    _gate_elites(config, "MPPI_Batched")
     if config.adaptive_covariance:
         raise ValueError(
             "adaptive_covariance is not supported on MPPI_Batched: the N "

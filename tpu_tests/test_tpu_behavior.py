@@ -311,3 +311,32 @@ class TestCrossBackend:
         np.testing.assert_allclose(
             np.asarray(om_tpu), np.asarray(om_cpu), rtol=1e-5, atol=1e-7
         )
+
+
+class TestEliteReuseOnChip:
+    def test_elites_close_loop_on_chip(self):
+        """Elite reuse (num_elites, iCEM-style) on the real chip: the loop
+        converges and the stored elites refresh to the per-solve top-k."""
+        ctrl = _ctrl(num_samples=64, num_elites=4,
+                     u_min=-jnp.ones(2, DT), u_max=jnp.ones(2, DT))
+        x = START
+        for _ in range(15):
+            a = ctrl.command(x)
+            x = dyn(x, a)
+        assert float(jnp.linalg.norm(GOAL - x)) < 1.0
+        idx = np.argsort(np.asarray(ctrl.cost_total))[:4]
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(ctrl.perturbed_action[idx]), axis=0),
+            np.sort(np.asarray(ctrl._state.elites), axis=0))
+
+    def test_use_pallas_with_elites_falls_back_to_xla(self):
+        """num_elites needs the materialized perturbed set, so the transposed
+        fused kernel is ineligible: use_pallas=True must fall back to the XLA
+        scan path (with full artifacts) instead of silently dropping rows."""
+        ctrl = _ctrl(num_samples=64, num_elites=2, use_pallas=True)
+        a = ctrl.command(START)
+        assert jnp.isfinite(a).all()
+        # the fused kernel never materializes these; the XLA fallback always does
+        assert ctrl.noise is not None
+        assert ctrl.perturbed_action is not None
+        assert ctrl._state.elites.shape == (2, 8, 2)
