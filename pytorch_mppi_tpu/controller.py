@@ -225,6 +225,7 @@ class MPPI:
         horizon: int = 15,
         device=None,
         terminal_state_cost: Optional[Callable] = None,
+        terminal_final_cost: Optional[Callable] = None,
         lambda_: float = 1.0,
         noise_mu=None,
         u_min=None,
@@ -296,6 +297,11 @@ class MPPI:
         self.F = dynamics
         self.running_cost = running_cost
         self.terminal_state_cost = terminal_state_cost
+        # TPU-native final-state terminal cost (state, action) -> cost on the
+        # LAST step only: keeps lazy rollout storage AND fused-kernel
+        # eligibility (ops/solve.wrap_final_cost); mutually exclusive with
+        # terminal_state_cost (validated by the step factory)
+        self.terminal_final_cost = terminal_final_cost
         self.step_dependency = bool(step_dependent_dynamics)
         self.sample_null_action = bool(sample_null_action)
         self.specific_action_sampler = specific_action_sampler
@@ -452,6 +458,7 @@ class MPPI:
             self.F,
             self.running_cost,
             terminal_state_cost=self.terminal_state_cost,
+            terminal_final_cost=self.terminal_final_cost,
             sample_trajectories=sample_traj,
             specific_dynamics=specific_dyn,
             mesh=self.mesh,
@@ -728,6 +735,7 @@ class SMPPI(MPPI):
             self.F,
             self.running_cost,
             terminal_state_cost=self.terminal_state_cost,
+            terminal_final_cost=self.terminal_final_cost,
             sample_trajectories=sample_traj,
             specific_dynamics=specific_dyn,
             mesh=self.mesh,
@@ -852,6 +860,7 @@ class KMPPI(MPPI):
             self.F,
             self.running_cost,
             terminal_state_cost=self.terminal_state_cost,
+            terminal_final_cost=self.terminal_final_cost,
             sample_trajectories=sample_traj,
             specific_dynamics=specific_dyn,
             mesh=self.mesh,
@@ -993,6 +1002,7 @@ class MPPI_Batched:
         horizon: int = 15,
         device=None,
         terminal_state_cost: Optional[Callable] = None,
+        terminal_final_cost: Optional[Callable] = None,
         lambda_: float = 1.0,
         noise_mu=None,
         u_min=None,
@@ -1077,10 +1087,12 @@ class MPPI_Batched:
             dtype=self.dtype,
         )
         self.terminal_state_cost = terminal_state_cost
+        self.terminal_final_cost = terminal_final_cost
         self.running_cost = running_cost
         self._fns = _solve.make_batched_step(
             self.config, self.N, dynamics, running_cost,
             terminal_state_cost=terminal_state_cost,
+            terminal_final_cost=terminal_final_cost,
             mesh=mesh, env_axis=env_axis, sample_axis=sample_axis,
             use_pallas=self.use_pallas,
         )

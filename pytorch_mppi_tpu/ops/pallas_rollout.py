@@ -338,6 +338,48 @@ def _trace_body_transposed(config, dynamics, running_cost, block_k):
     return closed, closed.consts
 
 
+def _trace_terminal_transposed(config, terminal_final, block_k):
+    """Trace the wrapped final-state terminal cost ``(state, u) -> cost`` at
+    the ORIGINAL (batch-first) block shape and probe batch-last support (same
+    contract as :func:`_trace_body_transposed`); returns (closed_jaxpr,
+    consts).  Raises UnsupportedPrimitive when out of the transform's
+    vocabulary — callers fall back to the XLA scan path."""
+    from . import batch_last as BL
+
+    dtype = config.dtype
+    closed = jax.make_jaxpr(terminal_final)(
+        jnp.zeros((block_k, config.nx), dtype),
+        jnp.zeros((block_k, config.nu), dtype),
+    )
+    ok, msg = BL.supports_batch_last(
+        closed.jaxpr, closed.consts,
+        [
+            jax.ShapeDtypeStruct((block_k, config.nx), dtype),
+            jax.ShapeDtypeStruct((block_k, config.nu), dtype),
+        ],
+        [True, True], block_k,
+    )
+    if not ok:
+        raise BL.UnsupportedPrimitive(msg)
+    return closed, closed.consts
+
+
+def _split_term_consts(consts, term_consts):
+    """Hoist the rollout body's and the (optional) terminal jaxpr's closure
+    constants through ONE kernel-input list; returns (specs, inputs, a
+    splitter mapping the kernel's const refs back to (body_cvals,
+    term_cvals))."""
+    n_body = len(consts)
+    all_consts = list(consts) + (list(term_consts) if term_consts else [])
+    const_specs, const_inputs, const_unpack = _hoist_consts(all_consts)
+
+    def split(const_refs):
+        cvals = [unpack(r) for unpack, r in zip(const_unpack, const_refs)]
+        return cvals[:n_body], cvals[n_body:]
+
+    return const_specs, const_inputs, split
+
+
 def _tp_draw_noise(lead_ref, i, rows, bh, block_k, rng_in_kernel, antithetic,
                    op_ref, mu_ref, diag_fast, dtype):
     """In-kernel noise block (rows, block_k): hardware bits (or injected
@@ -360,10 +402,15 @@ def _tp_draw_noise(lead_ref, i, rows, bh, block_k, rng_in_kernel, antithetic,
     ) + mu_ref[...]
 
 
-def _tp_rollout_total(closed, cvals, state0, perturbed, config, block_k):
+def _tp_rollout_total(closed, cvals, state0, perturbed, config, block_k,
+                      term=None, term_cvals=None):
     """Unrolled batch-last rollout + running-cost accumulation inside the
     kernel; ``state0`` is the (nx, block_k) initial-state value; returns the
-    (1, block_k) accumulated rollout cost."""
+    (1, block_k) accumulated rollout cost.  With ``term`` (the traced
+    final-state terminal cost, see :func:`_trace_terminal_transposed`) the
+    terminal cost of the FINAL state and final u_scale-scaled action is
+    added — the same (final_state, final_action) contract the XLA scan path
+    applies (solve.rollout_costs)."""
     from . import batch_last as BL
 
     T, nu = config.T, config.nu
@@ -377,6 +424,11 @@ def _tp_rollout_total(closed, cvals, state0, perturbed, config, block_k):
         state, c = BL.eval_jaxpr_batch_last(
             closed.jaxpr, cvals, [state, u_t, jnp.int32(t)],
             [True, True, False], block_k,
+        )
+        total = total + c.reshape(1, block_k)
+    if term is not None:
+        (c,) = BL.eval_jaxpr_batch_last(
+            term.jaxpr, term_cvals, [state, u_t], [True, True], block_k,
         )
         total = total + c.reshape(1, block_k)
     return total
@@ -457,6 +509,7 @@ def make_transposed_fused_solve(
     rng_in_kernel: bool = True,
     emit_perturbed: bool = False,
     null_dynamic_gate: bool = False,
+    terminal_final: Callable = None,  # wrapped: (state, u) -> cost
 ):
     """The ENTIRE MPPI iteration as ONE transposed-layout Pallas kernel, for
     arbitrary traceable dynamics/costs.
@@ -527,7 +580,12 @@ def make_transposed_fused_solve(
 
     closed, consts = _trace_body_transposed(config, dynamics, running_cost,
                                             block_k)
-    const_specs, const_inputs, const_unpack = _hoist_consts(consts)
+    term = term_consts = None
+    if terminal_final is not None:
+        term, term_consts = _trace_terminal_transposed(
+            config, terminal_final, block_k)
+    const_specs, const_inputs, split_cvals = _split_term_consts(
+        consts, term_consts)
 
     def kernel(*refs):
         (lead_ref, x0_ref, U_ref, op_ref, mu_ref, lo_ref, hi_ref, a_ref,
@@ -540,7 +598,7 @@ def make_transposed_fused_solve(
                 rest[len(const_specs):]
         else:
             cost_out, delta_ref, m_ref, s_ref, acc_ref = rest[len(const_specs):]
-        cvals = [unpack(r) for unpack, r in zip(const_unpack, const_refs)]
+        cvals, term_cvals = split_cvals(const_refs)
         i = pl.program_id(0)
 
         noise = _tp_draw_noise(lead_ref, i, D, bh, block_k, rng_in_kernel,
@@ -561,7 +619,8 @@ def make_transposed_fused_solve(
         pert_cost = jnp.sum(n_for_cost * a_ref[...], axis=0, keepdims=True)
 
         total = pert_cost + _tp_rollout_total(closed, cvals, x0_ref[...],
-                                              perturbed, config, block_k)
+                                              perturbed, config, block_k,
+                                              term=term, term_cvals=term_cvals)
         _tp_flash_tail(i, nblocks, total, lam_ref[0], noise, cost_out,
                        delta_ref, m_ref, s_ref, acc_ref, K, K_pad, block_k,
                        dtype)
@@ -649,6 +708,7 @@ def make_transposed_smppi_solve(
     rng_in_kernel: bool = True,
     emit_perturbed: bool = False,
     null_dynamic_gate: bool = False,
+    terminal_final: Callable = None,  # wrapped: (state, u) -> cost
 ):
     """The SMPPI iteration (reference mppi.py:451-570, arXiv:2112.09988) as
     one transposed K-on-lanes kernel — same design as
@@ -692,7 +752,12 @@ def make_transposed_smppi_solve(
 
     closed, consts = _trace_body_transposed(config, dynamics, running_cost,
                                             block_k)
-    const_specs, const_inputs, const_unpack = _hoist_consts(consts)
+    term = term_consts = None
+    if terminal_final is not None:
+        term, term_consts = _trace_terminal_transposed(
+            config, terminal_final, block_k)
+    const_specs, const_inputs, split_cvals = _split_term_consts(
+        consts, term_consts)
 
     def kernel(*refs):
         (lead_ref, x0_ref, U_ref, as_ref, op_ref, mu_ref, lo_ref, hi_ref,
@@ -705,7 +770,7 @@ def make_transposed_smppi_solve(
                 rest[len(const_specs):]
         else:
             cost_out, delta_ref, m_ref, s_ref, acc_ref = rest[len(const_specs):]
-        cvals = [unpack(r) for unpack, r in zip(const_unpack, const_refs)]
+        cvals, term_cvals = split_cvals(const_refs)
         i = pl.program_id(0)
         lam, w_seq, delta_t = sc_ref[0], sc_ref[1], sc_ref[2]
 
@@ -737,7 +802,8 @@ def make_transposed_smppi_solve(
         smooth = w_seq * jnp.sum(diff * diff, axis=0, keepdims=True)
 
         total = pert_cost + smooth + _tp_rollout_total(
-            closed, cvals, x0_ref[...], pert_act, config, block_k
+            closed, cvals, x0_ref[...], pert_act, config, block_k,
+            term=term, term_cvals=term_cvals,
         )
         _tp_flash_tail(i, nblocks, total, lam, noise, cost_out, delta_ref,
                        m_ref, s_ref, acc_ref, K, K_pad, block_k, dtype)
@@ -827,6 +893,7 @@ def make_transposed_kmppi_solve(
     rng_in_kernel: bool = True,
     emit_perturbed: bool = False,
     null_dynamic_gate: bool = False,
+    terminal_final: Callable = None,  # wrapped: (state, u) -> cost
 ):
     """The KMPPI iteration (reference mppi.py:593-688) as one transposed
     K-on-lanes kernel: noise drawn only at the ``nsp`` support points
@@ -868,7 +935,12 @@ def make_transposed_kmppi_solve(
 
     closed, consts = _trace_body_transposed(config, dynamics, running_cost,
                                             block_k)
-    const_specs, const_inputs, const_unpack = _hoist_consts(consts)
+    term = term_consts = None
+    if terminal_final is not None:
+        term, term_consts = _trace_terminal_transposed(
+            config, terminal_final, block_k)
+    const_specs, const_inputs, split_cvals = _split_term_consts(
+        consts, term_consts)
 
     def kernel(*refs):
         (lead_ref, x0_ref, U_ref, th_ref, op_ref, mu_ref, lop_ref, hip_ref,
@@ -881,7 +953,7 @@ def make_transposed_kmppi_solve(
                 rest[len(const_specs):]
         else:
             cost_out, delta_ref, m_ref, s_ref, acc_ref = rest[len(const_specs):]
-        cvals = [unpack(r) for unpack, r in zip(const_unpack, const_refs)]
+        cvals, term_cvals = split_cvals(const_refs)
         i = pl.program_id(0)
 
         noise_th = _tp_draw_noise(lead_ref, i, Dp, bh, block_k, rng_in_kernel,
@@ -908,7 +980,8 @@ def make_transposed_kmppi_solve(
         pert_cost = jnp.sum(n_for_cost * a_ref[...], axis=0, keepdims=True)
 
         total = pert_cost + _tp_rollout_total(closed, cvals, x0_ref[...],
-                                              perturbed, config, block_k)
+                                              perturbed, config, block_k,
+                                              term=term, term_cvals=term_cvals)
         # the update accumulates THETA-space noise (mppi.py:672-682)
         _tp_flash_tail(i, nblocks, total, lam_ref[0], noise_th, cost_out,
                        delta_ref, m_ref, s_ref, acc_ref, K, K_pad, block_k,
@@ -998,6 +1071,7 @@ def make_transposed_batched_solve(
     block_k: int = None,
     rng_in_kernel: bool = True,
     noise_operand: bool = False,
+    terminal_final: Callable = None,  # wrapped: (state, u) -> cost
 ):
     """The N-plant scenario-batched iteration (reference MPPI_Batched,
     mppi.py:691-873) as one transposed K-on-lanes kernel over a (N, K-blocks)
@@ -1059,7 +1133,12 @@ def make_transposed_batched_solve(
 
     closed, consts = _trace_body_transposed(config, dynamics, running_cost,
                                             block_k)
-    const_specs, const_inputs, const_unpack = _hoist_consts(consts)
+    term = term_consts = None
+    if terminal_final is not None:
+        term, term_consts = _trace_terminal_transposed(
+            config, terminal_final, block_k)
+    const_specs, const_inputs, split_cvals = _split_term_consts(
+        consts, term_consts)
 
     def kernel(*refs):
         (lead_ref, x0_ref, U_ref, op_ref, mu_ref, lo_ref, hi_ref, a_ref,
@@ -1067,7 +1146,7 @@ def make_transposed_batched_solve(
         const_refs = rest[: len(const_specs)]
         (cost_out, delta_ref, ms_ref, acc_ref, m_ref, s_ref) = \
             rest[len(const_specs):]
-        cvals = [unpack(r) for unpack, r in zip(const_unpack, const_refs)]
+        cvals, term_cvals = split_cvals(const_refs)
         n = pl.program_id(0)
         i = pl.program_id(1)  # K-block index (innermost)
 
@@ -1098,7 +1177,8 @@ def make_transposed_batched_solve(
 
         state0 = jnp.broadcast_to(col(x0_ref, nx), (nx, block_k))
         total = pert_cost + _tp_rollout_total(closed, cvals, state0,
-                                              perturbed, config, block_k)
+                                              perturbed, config, block_k,
+                                              term=term, term_cvals=term_cvals)
         total = _tp_mask_phantom(total, i, K, K_pad, block_k)
         cost_out[...] = total.reshape(1, 1, block_k)
 

@@ -296,6 +296,33 @@ def wrap_cost(config: MPPIConfig, running_cost: Callable) -> Callable:
     return _adapt_batch_rank(lambda s, u, t: running_cost(s, u))
 
 
+def wrap_final_cost(terminal_final_cost: Callable) -> Callable:
+    """Resolve the user FINAL-STATE terminal cost ``(final_state (..., nx),
+    final_action (..., nu)) -> cost (...)`` with the same batch-rank
+    adaptation as :func:`wrap_cost`.  This is the TPU-native terminal-cost
+    variant (net-new vs the reference, whose only terminal hook consumes the
+    FULL (K, T, nx) rollout storage, mppi.py:307-331): a terminal cost that
+    declares itself a function of the last step only lets the engine keep the
+    lazy-storage contract (no (M, K, T, nx) states tensor in HBM) and keeps
+    the fused transposed kernels eligible — the final state is live in the
+    scan carry / kernel registers either way."""
+    return _adapt_batch_rank(terminal_final_cost)
+
+
+def _gate_terminal(terminal_state_cost, terminal_final_cost):
+    """The two terminal hooks are mutually exclusive: the full-trajectory one
+    forces rollout storage, the final-state one exists to avoid it — silently
+    combining them would hide which contract is paying for what."""
+    if terminal_state_cost is not None and terminal_final_cost is not None:
+        raise ValueError(
+            "terminal_state_cost and terminal_final_cost are mutually "
+            "exclusive: use terminal_state_cost for costs over the full "
+            "(K, T, nx) trajectory, terminal_final_cost for costs of the "
+            "final state only (keeps lazy storage and fused-kernel "
+            "eligibility)"
+        )
+
+
 # ---------------------------------------------------------------------------
 # Rollout engine (the hot loop)
 # ---------------------------------------------------------------------------
@@ -312,6 +339,7 @@ def rollout_costs(
     perturbed_actions: jax.Array,  # (K, T, nu) unscaled
     key: jax.Array,
     dyn_params=None,
+    terminal_final_cost: Optional[Callable] = None,  # wrapped: (state, u) -> cost
 ):
     """T-step rollout of K·M trajectories, returning (cost_total (K,), states, actions).
 
@@ -394,6 +422,14 @@ def rollout_costs(
             c = jnp.asarray(c, dtype)
             # broadcast (K,) or (M, K) terminal costs onto cost_samples (mppi.py:324-328, 369-370)
             cost_samples = cost_samples + c
+    if terminal_final_cost is not None:
+        # final-state terminal cost (net-new, see wrap_final_cost): evaluated
+        # on the scan CARRY — no rollout storage required; the final action is
+        # u_scale-SCALED, matching what the full-terminal hook sees in the
+        # stored actions tensor (scaled before the scan, mppi.py:313)
+        u_last = jnp.broadcast_to(u_scaled[-1][None], (M, K, nu)).reshape(M * K, nu)
+        c = terminal_final_cost(final_state[..., : config.nx], u_last)
+        cost_samples = cost_samples + jnp.asarray(c, dtype).reshape(M, K)
     if var_on and config.risk_alpha > 0.0:
         # risk-sensitive aggregation (TPU-native extension; the reference's
         # only risk knob is the variance penalty below): CVaR_alpha over the
@@ -604,7 +640,8 @@ def _make_sharded_solve(config, local_builder, mesh, sample_axis: str,
 
 def make_sharded_transposed_solve(config, dynamics, running_cost, mesh,
                                   sample_axis: str = "k",
-                                  rng_in_kernel: bool = True):
+                                  rng_in_kernel: bool = True,
+                                  terminal_final=None):
     """K-sharded MPPI fused solve (see :func:`_make_sharded_solve`); same
     call signature as :func:`pallas_rollout.make_transposed_fused_solve`."""
     from . import pallas_rollout as PR
@@ -614,6 +651,7 @@ def make_sharded_transposed_solve(config, dynamics, running_cost, mesh,
         lambda cfg: PR.make_transposed_fused_solve(
             cfg, dynamics, running_cost, rng_in_kernel=rng_in_kernel,
             emit_perturbed=config.fused_artifacts, null_dynamic_gate=True,
+            terminal_final=terminal_final,
         ),
         mesh, sample_axis, rng_in_kernel, nargs_after_x0=7,
         emit=config.fused_artifacts,
@@ -622,7 +660,8 @@ def make_sharded_transposed_solve(config, dynamics, running_cost, mesh,
 
 def make_sharded_smppi_solve(config, dynamics, running_cost, mesh,
                              sample_axis: str = "k",
-                             rng_in_kernel: bool = True):
+                             rng_in_kernel: bool = True,
+                             terminal_final=None):
     """K-sharded SMPPI fused solve; same call signature as
     :func:`pallas_rollout.make_transposed_smppi_solve` (the rate-space delta
     merges across shards exactly like the plain delta)."""
@@ -633,6 +672,7 @@ def make_sharded_smppi_solve(config, dynamics, running_cost, mesh,
         lambda cfg: PR.make_transposed_smppi_solve(
             cfg, dynamics, running_cost, rng_in_kernel=rng_in_kernel,
             emit_perturbed=config.fused_artifacts, null_dynamic_gate=True,
+            terminal_final=terminal_final,
         ),
         mesh, sample_axis, rng_in_kernel, nargs_after_x0=12,
         emit=config.fused_artifacts,
@@ -641,7 +681,8 @@ def make_sharded_smppi_solve(config, dynamics, running_cost, mesh,
 
 def make_sharded_kmppi_solve(config, dynamics, running_cost, mesh,
                              sample_axis: str = "k",
-                             rng_in_kernel: bool = True):
+                             rng_in_kernel: bool = True,
+                             terminal_final=None):
     """K-sharded KMPPI fused solve; same call signature as
     :func:`pallas_rollout.make_transposed_kmppi_solve` (the THETA-space delta
     merges across shards exactly like the plain delta)."""
@@ -652,6 +693,7 @@ def make_sharded_kmppi_solve(config, dynamics, running_cost, mesh,
         lambda cfg: PR.make_transposed_kmppi_solve(
             cfg, dynamics, running_cost, rng_in_kernel=rng_in_kernel,
             emit_perturbed=config.fused_artifacts, null_dynamic_gate=True,
+            terminal_final=terminal_final,
         ),
         mesh, sample_axis, rng_in_kernel, nargs_after_x0=11,
         emit=config.fused_artifacts,
@@ -661,7 +703,8 @@ def make_sharded_kmppi_solve(config, dynamics, running_cost, mesh,
 def make_sharded_batched_solve(config, num_envs, dynamics, running_cost,
                                mesh, env_axis: str = "data",
                                rng_in_kernel: bool = True,
-                               noise_operand: bool = False):
+                               noise_operand: bool = False,
+                               terminal_final=None):
     """The batched (N-plant) fused kernel under ``shard_map`` with plants
     sharded over ``env_axis`` — the pod-scale scenario layout (SURVEY.md
     §3.4).  Unlike the K-sharded solve this needs ZERO collectives: each
@@ -684,7 +727,7 @@ def make_sharded_batched_solve(config, num_envs, dynamics, running_cost,
     N_local = num_envs // nshards
     local_solve = PR.make_transposed_batched_solve(
         config, N_local, dynamics, running_cost, rng_in_kernel=rng_in_kernel,
-        noise_operand=noise_operand,
+        noise_operand=noise_operand, terminal_final=terminal_final,
     )
 
     # the lead operand is replicated across env shards in every sampling
@@ -893,6 +936,7 @@ def make_nominal_refiner(
     running_cost: Callable,  # already wrapped (see wrap_cost)
     terminal_state_cost: Optional[Callable],
     specific_dynamics: Optional[Callable],
+    terminal_final_cost: Optional[Callable] = None,  # already wrapped
 ) -> Callable:
     """Projected-Adam descent of the nominal sequence on the task cost
     (gradient-accelerated MPPI; cf. the Gauss-Newton MPPI line of work,
@@ -933,7 +977,7 @@ def make_nominal_refiner(
             cost_total, _, _ = rollout_costs(
                 config, dynamics, running_cost, terminal_state_cost,
                 specific_dynamics, params, x0, pert, key,
-                dyn_params=dyn_params,
+                dyn_params=dyn_params, terminal_final_cost=terminal_final_cost,
             )
             return jnp.mean(cost_total)
 
@@ -987,6 +1031,7 @@ def make_mppi_step(
     mesh=None,
     sample_axis: str = "k",
     use_pallas: bool = False,
+    terminal_final_cost: Optional[Callable] = None,
 ) -> StepFns:
     """Build the jitted MPPI solve for one static configuration.
 
@@ -1021,6 +1066,7 @@ def make_mppi_step(
     _gate_risk_alpha(config)
     _gate_gradient_refinement(config, "MPPI")
     _gate_elites(config, "MPPI")
+    _gate_terminal(terminal_state_cost, terminal_final_cost)
     # rows excluded from the adaptive-covariance rank-mu estimate: the null
     # action, sampler-injected trajectories and re-injected elites are not
     # sampling-noise draws
@@ -1031,6 +1077,10 @@ def make_mppi_step(
     )
     dyn = wrap_dynamics(config, dynamics)
     cost = wrap_cost(config, running_cost)
+    final_cost = (
+        wrap_final_cost(terminal_final_cost)
+        if terminal_final_cost is not None else None
+    )
     dtype = config.dtype
     cset = make_constrainer(mesh)
 
@@ -1046,7 +1096,8 @@ def make_mppi_step(
             # terminal-cost storage do.
             if mesh is None and PR.pallas_eligible(
                 config,
-                has_terminal=terminal_state_cost is not None,
+                has_terminal=(terminal_state_cost is not None
+                              or terminal_final_cost is not None),
                 has_specific=specific_dynamics is not None,
             ):
                 fused_rollout = PR.make_fused_rollout(config, dyn, cost)
@@ -1068,7 +1119,8 @@ def make_mppi_step(
             transposed_solve = _route_transposed_solve(
                 config,
                 lambda: make_sharded_transposed_solve(
-                    config, dyn, cost, mesh, sample_axis
+                    config, dyn, cost, mesh, sample_axis,
+                    terminal_final=final_cost,
                 ),
                 terminal_state_cost, sample_trajectories, specific_dynamics,
                 mesh, "MPPI", sharded=True,
@@ -1079,6 +1131,7 @@ def make_mppi_step(
                 lambda: PR.make_transposed_fused_solve(
                     config, dyn, cost,
                     emit_perturbed=config.fused_artifacts,
+                    terminal_final=final_cost,
                 ),
                 terminal_state_cost, sample_trajectories, specific_dynamics,
                 mesh, "MPPI",
@@ -1092,7 +1145,8 @@ def make_mppi_step(
     # kernels — refinement runs on their returned U)
     refine_nominal = (
         make_nominal_refiner(
-            config, dyn, cost, terminal_state_cost, specific_dynamics
+            config, dyn, cost, terminal_state_cost, specific_dynamics,
+            terminal_final_cost=final_cost,
         )
         if config.gradient_refinement_steps > 0
         else None
@@ -1244,6 +1298,7 @@ def make_mppi_step(
             rollout_cost, states, actions = rollout_costs(
                 config, dyn, cost, terminal_state_cost, specific_dynamics,
                 params, x0, perturbed, k_roll, dyn_params=dyn_params,
+                terminal_final_cost=final_cost,
             )
         cost_total = cset(rollout_cost + perturbation_cost, sample_axis)
 
@@ -1337,6 +1392,7 @@ def make_smppi_step(
     mesh=None,
     sample_axis: str = "k",
     use_pallas: bool = False,
+    terminal_final_cost: Optional[Callable] = None,
 ) -> StepFns:
     if config.num_iterations < 1:
         raise ValueError(
@@ -1348,6 +1404,7 @@ def make_smppi_step(
     _gate_risk_alpha(config)
     _gate_gradient_refinement(config, "SMPPI")
     _gate_elites(config, "SMPPI")
+    _gate_terminal(terminal_state_cost, terminal_final_cost)
     # rows excluded from the adaptive-covariance rank-mu estimate: the null
     # action and sampler-injected trajectories are not sampling-noise draws
     n_injected_rows = (1 if config.sample_null_action else 0) + (
@@ -1355,6 +1412,10 @@ def make_smppi_step(
     )
     dyn = wrap_dynamics(config, dynamics)
     cost = wrap_cost(config, running_cost)
+    final_cost = (
+        wrap_final_cost(terminal_final_cost)
+        if terminal_final_cost is not None else None
+    )
     dtype = config.dtype
     cset = make_constrainer(mesh)
 
@@ -1369,7 +1430,8 @@ def make_smppi_step(
             transposed_solve = _route_transposed_solve(
                 config,
                 lambda: make_sharded_smppi_solve(
-                    config, dyn, cost, mesh, sample_axis
+                    config, dyn, cost, mesh, sample_axis,
+                    terminal_final=final_cost,
                 ),
                 terminal_state_cost, sample_trajectories, specific_dynamics,
                 mesh, "SMPPI", sharded=True,
@@ -1380,6 +1442,7 @@ def make_smppi_step(
                 lambda: PR.make_transposed_smppi_solve(
                     config, dyn, cost,
                     emit_perturbed=config.fused_artifacts,
+                    terminal_final=final_cost,
                 ),
                 terminal_state_cost, sample_trajectories, specific_dynamics,
                 mesh, "SMPPI",
@@ -1515,6 +1578,7 @@ def make_smppi_step(
         rollout_cost, states, actions = rollout_costs(
             config, dyn, cost, terminal_state_cost, specific_dynamics,
             base, x0, perturbed_action, k_roll, dyn_params=dyn_params,
+            terminal_final_cost=final_cost,
         )
         cost_total = cset(rollout_cost + perturbation_cost + smoothness, sample_axis)
 
@@ -1563,6 +1627,7 @@ def make_kmppi_step(
     mesh=None,
     sample_axis: str = "k",
     use_pallas: bool = False,
+    terminal_final_cost: Optional[Callable] = None,
 ) -> StepFns:
     if config.num_iterations < 1:
         raise ValueError(
@@ -1572,6 +1637,7 @@ def make_kmppi_step(
     _gate_risk_alpha(config)
     _gate_gradient_refinement(config, "KMPPI")
     _gate_elites(config, "KMPPI")
+    _gate_terminal(terminal_state_cost, terminal_final_cost)
     # rows excluded from the adaptive-covariance rank-mu estimate: the null
     # action and sampler-injected trajectories are not sampling-noise draws
     n_injected_rows = (1 if config.sample_null_action else 0) + (
@@ -1579,6 +1645,10 @@ def make_kmppi_step(
     )
     dyn = wrap_dynamics(config, dynamics)
     cost = wrap_cost(config, running_cost)
+    final_cost = (
+        wrap_final_cost(terminal_final_cost)
+        if terminal_final_cost is not None else None
+    )
     dtype = config.dtype
     nsp = config.num_support_pts
     cset = make_constrainer(mesh)
@@ -1594,7 +1664,8 @@ def make_kmppi_step(
             transposed_solve = _route_transposed_solve(
                 config,
                 lambda: make_sharded_kmppi_solve(
-                    config, dyn, cost, mesh, sample_axis
+                    config, dyn, cost, mesh, sample_axis,
+                    terminal_final=final_cost,
                 ),
                 terminal_state_cost, sample_trajectories, specific_dynamics,
                 mesh, "KMPPI", sharded=True,
@@ -1605,6 +1676,7 @@ def make_kmppi_step(
                 lambda: PR.make_transposed_kmppi_solve(
                     config, dyn, cost,
                     emit_perturbed=config.fused_artifacts,
+                    terminal_final=final_cost,
                 ),
                 terminal_state_cost, sample_trajectories, specific_dynamics,
                 mesh, "KMPPI",
@@ -1731,6 +1803,7 @@ def make_kmppi_step(
         rollout_cost, states, actions = rollout_costs(
             config, dyn, cost, terminal_state_cost, specific_dynamics,
             base, x0, perturbed, k_roll, dyn_params=dyn_params,
+            terminal_final_cost=final_cost,
         )
         cost_total = cset(rollout_cost + perturbation_cost, sample_axis)
 
@@ -1795,6 +1868,7 @@ def make_batched_step(
     sample_axis: Optional[str] = None,
     use_pallas: bool = False,
     transposed_solve_override=None,
+    terminal_final_cost: Optional[Callable] = None,
 ):
     """N parallel plants sharing one dynamics/cost call per step.
 
@@ -1831,6 +1905,7 @@ def make_batched_step(
         )
     _gate_gradient_refinement(config, "MPPI_Batched")
     _gate_elites(config, "MPPI_Batched")
+    _gate_terminal(terminal_state_cost, terminal_final_cost)
     if config.adaptive_covariance:
         raise ValueError(
             "adaptive_covariance is not supported on MPPI_Batched: the N "
@@ -1841,6 +1916,10 @@ def make_batched_step(
         )
     dyn = wrap_dynamics(config, dynamics)
     cost = wrap_cost(config, running_cost)
+    final_cost = (
+        wrap_final_cost(terminal_final_cost)
+        if terminal_final_cost is not None else None
+    )
     dtype = config.dtype
     N, K, T, nu, nx = num_envs, config.K, config.T, config.nu, config.nx
     cset = make_constrainer(mesh)
@@ -1915,7 +1994,7 @@ def make_batched_step(
                 config,
                 lambda: make_sharded_batched_solve(
                     config, N, dyn, cost, mesh, env_axis,
-                    noise_operand=noise_operand,
+                    noise_operand=noise_operand, terminal_final=final_cost,
                 ),
                 terminal_state_cost, None, None, mesh, "MPPI_Batched",
                 sharded=True,
@@ -1926,7 +2005,8 @@ def make_batched_step(
             transposed_solve = _route_transposed_solve(
                 config,
                 lambda: PR.make_transposed_batched_solve(
-                    config, N, dyn, cost, noise_operand=noise_operand
+                    config, N, dyn, cost, noise_operand=noise_operand,
+                    terminal_final=final_cost,
                 ),
                 terminal_state_cost, None, None, mesh, "MPPI_Batched",
             )
@@ -2042,12 +2122,19 @@ def make_batched_step(
             ys = s.reshape(N, K, -1)[..., :nx] if store else None
             return (s, c_tot + c), ys
 
-        (_, cost_total), ys = lax.scan(
+        (s_final, cost_total), ys = lax.scan(
             body,
             (state0, jnp.zeros((N, K), dtype)),
             (u_scaled, jnp.arange(T), step_keys),
             unroll=config.scan_unroll,
         )
+
+        if final_cost is not None:
+            # final-state terminal cost on the scan CARRY (see
+            # wrap_final_cost): no (N, K, T, nx) storage, final action
+            # u_scale-scaled like the single-plant path
+            tc = final_cost(s_final[..., :nx], u_scaled[-1])
+            cost_total = cost_total + jnp.asarray(tc, dtype).reshape(N, K)
 
         states = None
         if store:

@@ -1344,3 +1344,160 @@ class TestEliteReuse:
         with pytest.raises(ValueError, match="fills all K"):
             MPPI(linear_dynamics, quadratic_cost, 2, jnp.eye(2, dtype=DTYPE),
                  num_samples=4, horizon=5, num_elites=4)
+
+
+class TestTerminalFinalCost:
+    """Final-state terminal cost (``terminal_final_cost``; TPU-native — the
+    reference's only terminal hook consumes the full (K, T, nx) rollout
+    storage, mppi.py:307-331): a terminal cost declared as a function of the
+    LAST state/action evaluates on the scan carry, keeping the lazy-storage
+    contract (no (M, K, T, nx) tensor in HBM) and fused-kernel eligibility."""
+
+    GOAL = jnp.array([1.5, -0.5], DTYPE)
+
+    @classmethod
+    def _fterm(cls, s, a):
+        return 10.0 * ((s - cls.GOAL) ** 2).sum(axis=-1) + 0.1 * (a ** 2).sum(axis=-1)
+
+    @classmethod
+    def _full_term(cls, states, actions):
+        return cls._fterm(states[..., -1, :], actions[..., -1, :])
+
+    def _pair(self, **extra):
+        kw = dict(num_samples=64, horizon=8, lambda_=1.0, seed=11,
+                  u_min=-jnp.ones(2, DTYPE), u_max=jnp.ones(2, DTYPE),
+                  u_scale=0.7)
+        kw.update(extra)
+        full = MPPI(linear_dynamics, quadratic_cost, 2,
+                    0.5 * jnp.eye(2, dtype=DTYPE),
+                    terminal_state_cost=self._full_term, **kw)
+        fin = MPPI(linear_dynamics, quadratic_cost, 2,
+                   0.5 * jnp.eye(2, dtype=DTYPE),
+                   terminal_final_cost=self._fterm, **kw)
+        return full, fin
+
+    def test_bit_identical_to_full_terminal(self):
+        """Same seed => same noise stream; applying the identical cost via
+        the final-state hook must reproduce the full-trajectory hook
+        BIT-EXACTLY (both paths add the same f64 value to cost_samples) —
+        while the final-state variant keeps rollout storage off."""
+        full, fin = self._pair()
+        x = jnp.array([-2.0, 1.0], DTYPE)
+        for _ in range(3):
+            a1, a2 = full.command(x), fin.command(x)
+            np.testing.assert_array_equal(np.asarray(a1), np.asarray(a2))
+            np.testing.assert_array_equal(
+                np.asarray(full.cost_total), np.asarray(fin.cost_total))
+            x = linear_dynamics(x, a1)
+        assert full.states is not None  # full hook forces storage
+        assert fin.states is None       # final hook keeps the lazy contract
+
+    def test_multi_rollout_m(self):
+        """M>1: the final hook sees the (M·K,)-flat final carry and its
+        (M, K) cost broadcasts exactly like the full hook's."""
+        full, fin = self._pair(rollout_samples=3, rollout_var_cost=0.5)
+        x = jnp.array([-2.0, 1.0], DTYPE)
+        np.testing.assert_array_equal(
+            np.asarray(full.command(x)), np.asarray(fin.command(x)))
+
+    def test_mutually_exclusive(self):
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            MPPI(linear_dynamics, quadratic_cost, 2, jnp.eye(2, dtype=DTYPE),
+                 num_samples=8, horizon=4,
+                 terminal_state_cost=self._full_term,
+                 terminal_final_cost=self._fterm).command(jnp.zeros(2, DTYPE))
+
+    def test_smppi_kmppi(self):
+        from pytorch_mppi_tpu import KMPPI, SMPPI
+
+        kw = dict(num_samples=64, horizon=8, lambda_=1.0, seed=11,
+                  u_min=-jnp.ones(2, DTYPE), u_max=jnp.ones(2, DTYPE))
+        x = jnp.array([-2.0, 1.0], DTYPE)
+        s_full = SMPPI(linear_dynamics, quadratic_cost, 2,
+                       0.5 * jnp.eye(2, dtype=DTYPE),
+                       terminal_state_cost=self._full_term,
+                       action_min=-jnp.ones(2, DTYPE),
+                       action_max=jnp.ones(2, DTYPE), **kw)
+        s_fin = SMPPI(linear_dynamics, quadratic_cost, 2,
+                      0.5 * jnp.eye(2, dtype=DTYPE),
+                      terminal_final_cost=self._fterm,
+                      action_min=-jnp.ones(2, DTYPE),
+                      action_max=jnp.ones(2, DTYPE), **kw)
+        np.testing.assert_array_equal(
+            np.asarray(s_full.command(x)), np.asarray(s_fin.command(x)))
+        k_full = KMPPI(linear_dynamics, quadratic_cost, 2,
+                       0.5 * jnp.eye(2, dtype=DTYPE),
+                       terminal_state_cost=self._full_term,
+                       num_support_pts=4, **kw)
+        k_fin = KMPPI(linear_dynamics, quadratic_cost, 2,
+                      0.5 * jnp.eye(2, dtype=DTYPE),
+                      terminal_final_cost=self._fterm,
+                      num_support_pts=4, **kw)
+        np.testing.assert_array_equal(
+            np.asarray(k_full.command(x)), np.asarray(k_fin.command(x)))
+
+    def test_batched(self):
+        from pytorch_mppi_tpu import MPPI_Batched
+
+        def dynN(s, a):
+            return s + a
+
+        def costN(s, a):
+            return (s ** 2).sum(axis=-1)
+
+        full = MPPI_Batched(dynN, costN, 2, 0.4 * jnp.eye(2, dtype=DTYPE),
+                            num_envs=3, terminal_state_cost=self._full_term,
+                            num_samples=32, horizon=6, seed=5)
+        fin = MPPI_Batched(dynN, costN, 2, 0.4 * jnp.eye(2, dtype=DTYPE),
+                           num_envs=3, terminal_final_cost=self._fterm,
+                           num_samples=32, horizon=6, seed=5)
+        X = jnp.array([[-2.0, 1.0], [2.0, -1.0], [-1.0, 0.5]], DTYPE)
+        np.testing.assert_array_equal(
+            np.asarray(full.command(X)), np.asarray(fin.command(X)))
+        with pytest.raises(ValueError, match="mutually exclusive"):
+            MPPI_Batched(dynN, costN, 2, jnp.eye(2, dtype=DTYPE), num_envs=2,
+                         terminal_state_cost=self._full_term,
+                         terminal_final_cost=self._fterm,
+                         num_samples=8, horizon=4)
+
+    def test_gradient_refinement_descends_terminal(self):
+        """The refiner's objective includes the final-state terminal cost:
+        with a pure-terminal task (zero running cost) the refined nominal
+        must reach a lower terminal cost than the unrefined one."""
+        zero_cost = lambda s, a: jnp.zeros(s.shape[:-1], DTYPE)
+        kw = dict(num_samples=16, horizon=8, lambda_=1.0, seed=2,
+                  u_min=-jnp.ones(2, DTYPE), u_max=jnp.ones(2, DTYPE))
+        base = MPPI(linear_dynamics, zero_cost, 2, jnp.eye(2, dtype=DTYPE),
+                    terminal_final_cost=self._fterm, **kw)
+        ref = MPPI(linear_dynamics, zero_cost, 2, jnp.eye(2, dtype=DTYPE),
+                   terminal_final_cost=self._fterm,
+                   gradient_refinement_steps=8, gradient_refinement_lr=0.2,
+                   **kw)
+        x = jnp.array([-2.0, 1.0], DTYPE)
+
+        def final_cost_of(ctrl):
+            ctrl.command(x)
+            s = x
+            for t in range(ctrl.T):
+                s = linear_dynamics(s, ctrl.U[t])
+            return float(self._fterm(s, ctrl.U[-1]))
+
+        assert final_cost_of(ref) < final_cost_of(base)
+
+    def test_mesh_sharding_invariance(self):
+        """K-sharded XLA solve with a final-state terminal cost is
+        bit-identical to the unsharded solve (partitionable threefry)."""
+        from pytorch_mppi_tpu.parallel import make_mesh
+
+        kw = dict(num_samples=64, horizon=6, lambda_=1.0, seed=3,
+                  u_min=-jnp.ones(2, DTYPE), u_max=jnp.ones(2, DTYPE))
+        plain = MPPI(linear_dynamics, quadratic_cost, 2,
+                     0.5 * jnp.eye(2, dtype=DTYPE),
+                     terminal_final_cost=self._fterm, **kw)
+        mesh = make_mesh((4,), ("k",), devices=jax.devices()[:4])
+        sharded = MPPI(linear_dynamics, quadratic_cost, 2,
+                       0.5 * jnp.eye(2, dtype=DTYPE),
+                       terminal_final_cost=self._fterm, mesh=mesh, **kw)
+        x = jnp.array([-2.0, 1.0], DTYPE)
+        np.testing.assert_array_equal(
+            np.asarray(plain.command(x)), np.asarray(sharded.command(x)))

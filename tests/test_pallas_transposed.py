@@ -1052,3 +1052,117 @@ class TestFuzzBatched:
                                    rtol=2e-5, atol=2e-5)
         np.testing.assert_allclose(np.asarray((delta_k / ms_k[1][None]).T),
                                    np.asarray(delta_m), rtol=2e-4, atol=2e-6)
+
+
+class TestTerminalFinalKernel:
+    """Final-state terminal cost inside the transposed kernels
+    (``terminal_final=``, see solve.wrap_final_cost): the terminal jaxpr is
+    traced like the body, its closure constants hoisted through the same
+    kernel-input list, and it evaluates batch-axis-last on the FINAL rollout
+    state and final scaled action — pinned against the XLA mirror with
+    injected bits."""
+
+    W = jnp.array([3.0, 1.0], DT)
+
+    @classmethod
+    def _fterm(cls, s, a):
+        # closure constants (W, GOAL) exercise the terminal-consts hoisting
+        return (cls.W * (s - GOAL) ** 2).sum(axis=-1) + 0.2 * (a ** 2).sum(axis=-1)
+
+    def _operands(self, config):
+        bh = config.K // 2 if config.antithetic else config.K
+        bits = jax.random.randint(
+            jax.random.PRNGKey(3), (D, bh), -(2**31), 2**31 - 1, jnp.int32)
+        U2 = jax.random.normal(jax.random.PRNGKey(5), (D,), DT) * 0.1
+        return bits, U2
+
+    @pytest.mark.parametrize("dyn", [lin_dyn, mlp_dyn])
+    def test_mppi_parity(self, dyn):
+        config = MPPIConfig(nx=NX, nu=NU, K=K, T=T, dtype=DT, diag_sigma=True,
+                            u_scale=0.9)
+        bits, U2 = self._operands(config)
+        scale_t = jnp.full((D,), 0.8, DT)
+        mu_t = jnp.full((D,), 0.05, DT)
+        lo_t = jnp.full((D,), -1.0, DT)
+        hi_t = jnp.full((D,), 1.0, DT)
+        a_flat = U2 * 0.7
+        lam = jnp.asarray(1.0, DT)
+        x0 = jnp.array([-3.0, -2.0], DT)
+        wdyn = S.wrap_dynamics(config, dyn)
+        wcost = S.wrap_cost(config, quad_cost)
+        wterm = S.wrap_final_cost(self._fterm)
+
+        solve = PR.make_transposed_fused_solve(
+            config, wdyn, wcost, rng_in_kernel=False, terminal_final=wterm)
+        x0T = jnp.broadcast_to(x0[:, None], (NX, K))
+        delta_k, m_k, s_k, ct_k = jax.jit(solve)(
+            bits, x0T, U2, scale_t, mu_t, lo_t, hi_t, a_flat, lam)
+
+        z = PR._bits_to_normal(bits)
+        noise2 = z.T * scale_t[None] + mu_t[None]
+        perturbed2 = jnp.clip(U2[None] + noise2, lo_t, hi_t)
+        noise2 = perturbed2 - U2[None]
+        rc, _, _ = S.rollout_costs(
+            config, wdyn, wcost, None, None, None, x0,
+            perturbed2.reshape(K, T, NU) * 1.0, jax.random.PRNGKey(0),
+            terminal_final_cost=wterm)
+        ct_m = rc + noise2 @ a_flat
+        np.testing.assert_allclose(np.asarray(ct_k), np.asarray(ct_m),
+                                   rtol=2e-5, atol=1e-5)
+        logits = -ct_m / lam
+        m_m = jnp.max(logits)
+        w = jnp.exp(logits - m_m)
+        np.testing.assert_allclose(float(s_k), float(jnp.sum(w)), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(delta_k) / float(s_k),
+            np.asarray((w / jnp.sum(w)) @ noise2), rtol=2e-4, atol=2e-6)
+
+    def test_batched_parity(self):
+        N = 2
+        config = MPPIConfig(nx=NX, nu=NU, K=K, T=T, dtype=DT, diag_sigma=True)
+        bits, U2 = self._operands(config)
+        scale_t = jnp.full((D,), 0.8, DT)
+        mu_t = jnp.zeros((D,), DT)
+        lo_t = jnp.full((D,), -1.0, DT)
+        hi_t = jnp.full((D,), 1.0, DT)
+        lam = jnp.asarray(1.0, DT)
+        wdyn = S.wrap_dynamics(config, lin_dyn)
+        wcost = S.wrap_cost(config, quad_cost)
+        wterm = S.wrap_final_cost(self._fterm)
+
+        z = PR._bits_to_normal(bits)
+        noise_shared = z.T * scale_t[None] + mu_t[None]  # (K, D)
+        solve = PR.make_transposed_batched_solve(
+            config, N, wdyn, wcost, noise_operand=True, terminal_final=wterm)
+        x0 = jnp.array([[-3.0, -2.0], [2.0, 1.0]], DT)
+        U2N = jnp.stack([U2, -U2], axis=1)
+        aN = jnp.stack([U2 * 0.7, -U2 * 0.7], axis=1)
+        delta, ms, ct = jax.jit(solve)(
+            noise_shared.T, x0.T, U2N, scale_t, mu_t, lo_t, hi_t, aN, lam)
+
+        for n in range(N):
+            U_n = U2N[:, n]
+            pert = jnp.clip(U_n[None] + noise_shared, lo_t, hi_t)
+            nse = pert - U_n[None]
+            rc, _, _ = S.rollout_costs(
+                config, wdyn, wcost, None, None, None, x0[n],
+                pert.reshape(K, T, NU) * 1.0, jax.random.PRNGKey(0),
+                terminal_final_cost=wterm)
+            ct_m = rc + nse @ aN[:, n]
+            np.testing.assert_allclose(np.asarray(ct[n]), np.asarray(ct_m),
+                                       rtol=2e-5, atol=2e-5)
+
+    def test_unsupported_terminal_raises_at_build(self):
+        """A terminal fn outside the batch-last vocabulary fails LOUDLY at
+        build time (UnsupportedPrimitive) — the routing layer catches it and
+        falls back to the XLA scan path."""
+        config = MPPIConfig(nx=NX, nu=NU, K=K, T=T, dtype=DT, diag_sigma=True)
+
+        def weird_term(s, a):
+            return jnp.sort(s, axis=-1)[..., 0]  # lax.sort: not in vocabulary
+
+        with pytest.raises(UnsupportedPrimitive):
+            PR.make_transposed_fused_solve(
+                config, S.wrap_dynamics(config, lin_dyn),
+                S.wrap_cost(config, quad_cost), rng_in_kernel=False,
+                terminal_final=S.wrap_final_cost(weird_term))

@@ -627,3 +627,76 @@ class TestCompiledKernels:
                                      jax.random.PRNGKey(0))
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-4, atol=2e-3)
+
+
+class TestTerminalFinalOnChip:
+    """Final-state terminal cost inside the transposed kernel, compiled on
+    the chip (Mosaic lowering of the terminal jaxpr's batch-last
+    evaluation), plus the controller-level routing: ``use_pallas=True`` with
+    ``terminal_final_cost`` must stay on the fused kernel (the full
+    ``terminal_state_cost`` hook falls back to the XLA scan path)."""
+
+    W = jnp.array([3.0, 1.0], DT)
+
+    @classmethod
+    def _fterm(cls, s, a):
+        return (cls.W * (s - GOAL) ** 2).sum(axis=-1) + 0.2 * (a ** 2).sum(axis=-1)
+
+    def test_compiled_pregen_bits_parity(self):
+        K, T, NU = 256, 6, 2
+        D = T * NU
+        config = MPPIConfig(nx=2, nu=NU, K=K, T=T, dtype=DT, diag_sigma=True)
+        wdyn = S.wrap_dynamics(config, dyn)
+        wcost = S.wrap_cost(config, cost)
+        wterm = S.wrap_final_cost(self._fterm)
+        solve = jax.jit(PR.make_transposed_fused_solve(
+            config, wdyn, wcost, rng_in_kernel=False, terminal_final=wterm))
+        bits = jax.random.randint(
+            jax.random.PRNGKey(3), (D, K), -(2**31), 2**31 - 1, jnp.int32)
+        U2 = jax.random.normal(jax.random.PRNGKey(5), (D,), DT) * 0.1
+        ones = jnp.ones((D,), DT)
+        lam = jnp.asarray(0.9, DT)
+        a_flat = U2 * lam
+        x0 = jnp.array([-1.0, 0.5], DT)
+        x0T = jnp.broadcast_to(x0[:, None], (2, K))
+        delta, m, s, ct = solve(bits, x0T, U2, ones, 0 * ones, -ones, ones,
+                                a_flat, lam)
+
+        z = PR._bits_to_normal(bits, use_pltpu=False)
+        noise2 = z.T
+        pert2 = jnp.clip(U2[None] + noise2, -ones, ones)
+        noise2 = pert2 - U2[None]
+        rc, _, _ = S.rollout_costs(config, wdyn, wcost, None, None, None, x0,
+                                   pert2.reshape(K, T, NU),
+                                   jax.random.PRNGKey(0),
+                                   terminal_final_cost=wterm)
+        ct_ref = rc + noise2 @ a_flat
+        np.testing.assert_allclose(np.asarray(ct), np.asarray(ct_ref),
+                                   rtol=2e-4, atol=2e-3)
+
+    def test_routing_and_closed_loop(self, caplog):
+        """terminal_final_cost keeps the fused route (info log names the
+        transposed kernel; no fallback warning) and the closed loop
+        converges; terminal_state_cost on the same config falls back."""
+        import logging
+
+        kw = dict(num_samples=512, horizon=10, lambda_=1.0, seed=3,
+                  u_max=jnp.array([1.0, 1.0], DT))
+        with caplog.at_level(logging.INFO):
+            c_fin = MPPI(dyn, cost, 2, jnp.eye(2, dtype=DT), use_pallas=True,
+                         terminal_final_cost=self._fterm, **kw)
+        assert any("transposed" in r.message for r in caplog.records
+                   if r.levelno == logging.INFO), caplog.records
+        caplog.clear()
+        with caplog.at_level(logging.WARNING):
+            MPPI(dyn, cost, 2, jnp.eye(2, dtype=DT), use_pallas=True,
+                 terminal_state_cost=lambda st, ac: self._fterm(
+                     st[..., -1, :], ac[..., -1, :]), **kw)
+        assert any("ineligible" in r.message for r in caplog.records)
+
+        state = jnp.array([-3.0, -2.0], DT)
+        for _ in range(12):
+            a = c_fin.command(state)
+            state = dyn(state[None], a[None])[0]
+        assert float(jnp.linalg.norm(GOAL - state)) < 1.0
+        assert c_fin.states is None  # lazy storage kept on the fused route
