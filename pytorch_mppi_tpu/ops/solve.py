@@ -1155,6 +1155,17 @@ def make_mppi_step(
     def _solve(params: MPPIParams, state: MPPIState, x0, info, shift: bool, dyn_params=None):
         U = state.U
         elites = state.elites
+        if config.num_elites > 0 and elites is None:
+            # structural (pytree) property — resolves at trace time; without
+            # this, shift crashes with an opaque roll-of-None TypeError and
+            # no-shift silently skips injection while n_injected_rows still
+            # masks rows out of the adaptive-covariance estimate
+            raise ValueError(
+                f"config.num_elites={config.num_elites} but state.elites is "
+                f"None: seed MPPIState.elites with (num_elites, T, nu) "
+                f"trajectories (e.g. broadcast copies of the nominal, as "
+                f"MPPI._initial_elites does)"
+            )
         if shift:
             U = _shift_U(U, params.u_init)
             if config.num_elites > 0:
@@ -1895,6 +1906,11 @@ def make_batched_step(
     if config.num_iterations < 1:
         raise ValueError(
             f"config.num_iterations must be >= 1, got {config.num_iterations}"
+        )
+    if not 0.0 <= config.risk_alpha <= 1.0:
+        # same range validation as _gate_risk_alpha on the other factories
+        raise ValueError(
+            f"risk_alpha must be in [0, 1], got {config.risk_alpha}"
         )
     if config.risk_alpha > 0.0 or config.M > 1:
         raise ValueError(

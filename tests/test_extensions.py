@@ -1137,6 +1137,15 @@ class TestRunMppiJit:
         assert jnp.isfinite(total)
 
 
+def _trajectory_rowset(a):
+    """Canonicalize a stack of trajectories as a SET of whole rows: flatten
+    each (T, nu) trajectory and sort the rows lexicographically.  (A per-
+    element np.sort(axis=0) would compare multisets of scalars per position
+    and could false-pass on cross-mixed trajectories.)"""
+    f = np.asarray(a).reshape(np.shape(a)[0], -1)
+    return f[np.lexsort(f.T[::-1])]
+
+
 class TestEliteReuse:
     """iCEM-style elite reuse (``num_elites``, arXiv:2008.06389 §3; net-new —
     the reference resamples every trajectory from scratch each command):
@@ -1219,8 +1228,8 @@ class TestEliteReuse:
         # this cycle's stored elites are its top-k by total cost
         idx = np.argsort(np.asarray(ctrl.cost_total))[:E]
         np.testing.assert_array_equal(
-            np.sort(np.asarray(ctrl.perturbed_action[idx]), axis=0),
-            np.sort(np.asarray(prev_elites), axis=0))
+            _trajectory_rowset(ctrl.perturbed_action[idx]),
+            _trajectory_rowset(prev_elites))
 
         ctrl.command(linear_dynamics(x, ctrl.U[0]))
         # row 0: null action; row 1: the sampler's ramp; rows 2..2+E: elites
@@ -1501,3 +1510,43 @@ class TestTerminalFinalCost:
         x = jnp.array([-2.0, 1.0], DTYPE)
         np.testing.assert_array_equal(
             np.asarray(plain.command(x)), np.asarray(sharded.command(x)))
+
+
+class TestReviewGates:
+    """Round-5 review fixes: loud ops-layer invariants that previously failed
+    opaquely or passed silently."""
+
+    def test_ops_layer_elites_state_must_be_seeded(self):
+        """make_mppi_step with num_elites>0 given a state whose elites field
+        is None (e.g. a hand-built MPPIState, which defaults it) must raise a
+        loud ValueError on BOTH step and step_no_shift — previously shift
+        crashed with roll-of-None and no-shift silently skipped injection
+        while still masking rows out of the adaptive-covariance estimate."""
+        from pytorch_mppi_tpu.config import MPPIConfig, MPPIParams, MPPIState
+        from pytorch_mppi_tpu.ops import solve as S
+
+        config = MPPIConfig(nx=2, nu=2, K=16, T=5, dtype=DTYPE, num_elites=2,
+                            diag_sigma=True)
+        fns = S.make_mppi_step(config, linear_dynamics, quadratic_cost, jit=False)
+        params = MPPIParams(
+            noise_mu=jnp.zeros(2, DTYPE), noise_sigma=jnp.eye(2, dtype=DTYPE),
+            lambda_=jnp.asarray(1.0, DTYPE),
+            u_min=jnp.full((2,), -jnp.inf, DTYPE),
+            u_max=jnp.full((2,), jnp.inf, DTYPE),
+            u_init=jnp.zeros(2, DTYPE))
+        state = MPPIState(U=jnp.zeros((5, 2), DTYPE), key=jax.random.PRNGKey(0))
+        x0 = jnp.zeros(2, DTYPE)
+        with pytest.raises(ValueError, match="state.elites is None"):
+            fns.step(params, state, x0)
+        with pytest.raises(ValueError, match="state.elites is None"):
+            fns.step_no_shift(params, state, x0)
+
+    def test_batched_rejects_out_of_range_risk_alpha(self):
+        """make_batched_step validates the risk_alpha RANGE like the other
+        three factories (negative values previously built silently)."""
+        from pytorch_mppi_tpu.config import MPPIConfig
+        from pytorch_mppi_tpu.ops import solve as S
+
+        config = MPPIConfig(nx=2, nu=2, K=8, T=5, dtype=DTYPE, risk_alpha=-0.5)
+        with pytest.raises(ValueError, match=r"risk_alpha must be in \[0, 1\]"):
+            S.make_batched_step(config, 2, linear_dynamics, quadratic_cost)

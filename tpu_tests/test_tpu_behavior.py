@@ -325,9 +325,15 @@ class TestEliteReuseOnChip:
             x = dyn(x, a)
         assert float(jnp.linalg.norm(GOAL - x)) < 1.0
         idx = np.argsort(np.asarray(ctrl.cost_total))[:4]
+        def rowset(a):
+            # whole-trajectory row set (per-element sort could false-pass
+            # on cross-mixed trajectories)
+            f = np.asarray(a).reshape(np.shape(a)[0], -1)
+            return f[np.lexsort(f.T[::-1])]
+
         np.testing.assert_array_equal(
-            np.sort(np.asarray(ctrl.perturbed_action[idx]), axis=0),
-            np.sort(np.asarray(ctrl._state.elites), axis=0))
+            rowset(ctrl.perturbed_action[idx]),
+            rowset(ctrl._state.elites))
 
     def test_use_pallas_with_elites_falls_back_to_xla(self):
         """num_elites needs the materialized perturbed set, so the transposed
