@@ -260,14 +260,22 @@ def transposed_eligible(config: MPPIConfig, has_terminal: bool,
                         has_specific_sampler: bool, mesh) -> bool:
     """Static eligibility for :func:`make_transposed_fused_solve` (the jaxpr
     support probe happens inside the factory): M=1, no rollout storage, no
-    user-injected rows (``sample_null_action`` is handled in-kernel; elite
-    reuse needs the materialized perturbed set for row injection and top-k
-    selection), deterministic unparameterized dynamics, f32, unsharded."""
+    user-injected rows (``sample_null_action`` is handled in-kernel),
+    deterministic unparameterized dynamics, f32, unsharded.  Elite reuse
+    (``num_elites``) composes with the kernel ONLY under ``fused_artifacts``:
+    injection rides a (D, 128) operand overwriting block-0 columns, and the
+    top-k refresh needs the materialized perturbed set the artifact store
+    provides; without it (or with more injected rows than one lane block)
+    the config is ineligible."""
+    elites_ok = config.num_elites == 0 or (
+        config.fused_artifacts
+        and config.num_elites + (1 if config.sample_null_action else 0) <= 128
+    )
     return (
         config.M == 1
         and not has_terminal
         and not has_specific_sampler
-        and config.num_elites == 0
+        and elites_ok
         and not config.stochastic_dynamics
         and not config.parameterized_dynamics
         and mesh is None
@@ -577,6 +585,20 @@ def make_transposed_fused_solve(
     null_gate = null_action and null_dynamic_gate
     u_scale = float(config.u_scale)
     bh = block_k // 2 if antithetic else block_k
+    # elite reuse (MPPIConfig.num_elites, docs/DESIGN.md §11): the shifted
+    # elite trajectories ride a (D, 128) VMEM operand whose columns sit at
+    # their GLOBAL sample indices (after the null row); block 0 overwrites
+    # those columns before the clamp — the same inject-then-bound order as
+    # the XLA path's inject_specific_actions
+    num_elites = config.num_elites
+    elite_off = 1 if null_action else 0
+    if num_elites and num_elites + elite_off > min(K, 128):
+        from .solve import FusedSolveUnavailable  # lazy: avoids module cycle
+
+        raise FusedSolveUnavailable(
+            f"num_elites={num_elites} (+{elite_off} null) exceeds the "
+            f"kernel's one-lane-block injection window (min(K, 128))"
+        )
 
     closed, consts = _trace_body_transposed(config, dynamics, running_cost,
                                             block_k)
@@ -590,6 +612,8 @@ def make_transposed_fused_solve(
     def kernel(*refs):
         (lead_ref, x0_ref, U_ref, op_ref, mu_ref, lo_ref, hi_ref, a_ref,
          lam_ref, *rest) = refs
+        if num_elites:
+            el_ref, *rest = rest
         if null_gate:
             gate_ref, *rest = rest
         const_refs = rest[: len(const_specs)]
@@ -611,6 +635,13 @@ def make_transposed_fused_solve(
             if null_gate:
                 is_null = is_null & (gate_ref[0] != 0)
             perturbed = jnp.where(is_null, 0.0, perturbed)
+        if num_elites:
+            col = jax.lax.broadcasted_iota(jnp.int32, (D, block_k), 1)
+            in_el = (col >= elite_off) & (col < elite_off + num_elites) & (i == 0)
+            ext = el_ref[...]
+            if block_k > 128:
+                ext = jnp.pad(ext, ((0, 0), (0, block_k - 128)))
+            perturbed = jnp.where(in_el, ext, perturbed)
         perturbed = jnp.clip(perturbed, lo_ref[...], hi_ref[...])
         if emit_perturbed:
             pert_ref[...] = perturbed
@@ -644,6 +675,8 @@ def make_transposed_fused_solve(
             pl.BlockSpec(memory_space=pltpu.VMEM),  # hi (D, 1)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # a_flat (D, 1)
             pl.BlockSpec(memory_space=pltpu.SMEM),  # lambda (1,)
+            *((pl.BlockSpec((D, 128), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM),) if num_elites else ()),
             *((pl.BlockSpec(memory_space=pltpu.SMEM),) if null_gate else ()),
             *const_specs,
         ],
@@ -668,7 +701,25 @@ def make_transposed_fused_solve(
     )
 
     def solve(seed_or_bits, x0T, U2, op, mu_t, lo_t, hi_t, a_flat, lambda_,
-              *gate):
+              *rest):
+        rest = list(rest)
+        if num_elites:
+            if not rest:
+                raise TypeError(
+                    "this fused solve was built with num_elites "
+                    f"= {num_elites}: pass the (D, 128) elites operand "
+                    "(elite columns at their global sample indices) after "
+                    "lambda"
+                )
+            elites_in = (jnp.asarray(rest.pop(0), dtype),)
+            if elites_in[0].shape != (D, 128):
+                raise TypeError(
+                    f"elites operand must be (D, 128) = ({D}, 128), got "
+                    f"{elites_in[0].shape}"
+                )
+        else:
+            elites_in = ()
+        gate = tuple(rest)
         x0T = jnp.asarray(x0T, dtype)
         if K_pad != K:
             x0T = jnp.pad(x0T, ((0, 0), (0, K_pad - K)))
@@ -683,6 +734,7 @@ def make_transposed_fused_solve(
             jnp.asarray(hi_t, dtype).reshape(D, 1),
             jnp.asarray(a_flat, dtype).reshape(D, 1),
             jnp.asarray(lambda_, dtype).reshape(1),
+            *elites_in,
             *gate_in,
             *const_inputs,
         )

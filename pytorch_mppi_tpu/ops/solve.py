@@ -784,6 +784,14 @@ def _route_transposed_solve(config, builder, terminal_state_cost,
             "the XLA scan path on backend %r", jax.default_backend(),
         )
         return None
+    if sharded and config.num_elites > 0:
+        # the (D, 128) elites operand would need to reach exactly one shard's
+        # block 0; not plumbed — K-sharded elite configs use the XLA path
+        logger.warning(
+            "use_pallas with num_elites on a K-sharded mesh is not supported "
+            "by the fused kernels; using the XLA scan path"
+        )
+        return None
     if not PR.transposed_eligible(
         config,
         has_terminal=terminal_state_cost is not None,
@@ -794,9 +802,9 @@ def _route_transposed_solve(config, builder, terminal_state_cost,
     ):
         logger.warning(
             "use_pallas requested but the %s configuration is ineligible "
-            "(terminal cost / specific sampler / elite reuse / M>1 / "
-            "stochastic / parameterized / non-f32 / sharded); using the XLA "
-            "scan path",
+            "(terminal cost / specific sampler / elite reuse without "
+            "fused_artifacts / M>1 / stochastic / parameterized / non-f32 / "
+            "sharded); using the XLA scan path",
             variant,
         )
         return None
@@ -1217,11 +1225,14 @@ def make_mppi_step(
         action = _select_action(config, U)
         return MPPIState(U=U, key=key, elites=elites), action, artifacts
 
-    def _one_iteration_fused(params, U, x0, k_noise):
+    def _one_iteration_fused(params, U, elites, x0, k_noise):
         """The whole iteration as one transposed-layout kernel call: derive
         the tiny per-solve operands in XLA (cholesky, mixing operator, action
         cost vector — all O(D^2) at most), then sample/rollout/weight/update
-        entirely in VMEM."""
+        entirely in VMEM.  With elite reuse the shifted elites ride a
+        (D, 128) operand with columns at their global sample indices (after
+        the null row); the kernel overwrites those block-0 columns before
+        the clamp — identical ordering to inject_specific_actions."""
         from . import pallas_rollout as PR
 
         sigma_inv, op, mu_t, lo2, hi2 = _transposed_operands(
@@ -1231,9 +1242,15 @@ def make_mppi_step(
         a_flat = (params.lambda_ * (U @ sigma_inv.T)).reshape(D)
         x0T = _x0_to_lanes(x0, K)
         seed = PR.key_to_seed(k_noise)
+        elites_in = ()
+        if config.num_elites > 0:
+            off = 1 if config.sample_null_action else 0
+            el2 = elites.astype(dtype).reshape(config.num_elites, D).T  # (D, E)
+            elites_in = (jnp.zeros((D, 128), dtype)
+                         .at[:, off:off + config.num_elites].set(el2),)
         out = transposed_solve(
             seed, x0T, U.reshape(D), op, mu_t, lo2, hi2, a_flat,
-            params.lambda_,
+            params.lambda_, *elites_in,
         )
         delta, m, s, cost_total = out[:4]
         ctnz, omega = PR.weighting_from_stats(cost_total, params.lambda_, m, s)
@@ -1258,9 +1275,10 @@ def make_mppi_step(
 
     def _one_iteration(params, U, elites, x0, info, k_noise, k_roll, dyn_params):
         if transposed_solve is not None:
-            # num_elites > 0 is ineligible for the fused kernel (elite rows
-            # need the materialized perturbed set), so elites is None here
-            return _one_iteration_fused(params, U, x0, k_noise)
+            # with num_elites > 0 the route guarantees fused_artifacts, so
+            # the refresh in _solve reads the kernel's materialized
+            # perturbed set
+            return _one_iteration_fused(params, U, elites, x0, k_noise)
         # The sampling/bounding/weighting pipeline runs in flat (K, T·nu) 2-D
         # layout: TPU tiles the two minor dims (8, 128), so a (K, T, nu) tensor
         # with nu=2 lane-pads 64x on every elementwise pass.  Lane-dense flat

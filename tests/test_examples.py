@@ -114,3 +114,18 @@ class TestGradientRefinementExample:
         import numpy as np
 
         assert np.isfinite(angle_ref)
+
+
+class TestEliteReuseExample:
+    def test_starved_k_improves(self):
+        """The A/B at reduced shapes: the elite-reuse controller must beat
+        the baseline on accumulated cost (the full 100-step claim is the
+        example's own __main__ assert)."""
+        import elite_reuse
+
+        rows = elite_reuse.main(
+            ["--samples", "16", "--elites", "4", "--steps", "60",
+             "--seeds", "2"]
+        )
+        (_, cost_base, _), (_, cost_el, _) = rows
+        assert cost_el < cost_base

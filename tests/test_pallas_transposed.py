@@ -1166,3 +1166,77 @@ class TestTerminalFinalKernel:
                 config, S.wrap_dynamics(config, lin_dyn),
                 S.wrap_cost(config, quad_cost), rng_in_kernel=False,
                 terminal_final=S.wrap_final_cost(weird_term))
+
+
+class TestEliteOperandKernel:
+    """Elite reuse inside the transposed kernel (``MPPIConfig.num_elites`` +
+    ``fused_artifacts``, docs/DESIGN.md §11): the shifted elites ride a
+    (D, 128) operand whose columns sit at their global sample indices; block
+    0 overwrites those columns before the clamp — pinned against the XLA
+    pipeline with identical injection."""
+
+    @pytest.mark.parametrize("null", [False, True])
+    def test_parity_with_xla_injection(self, null):
+        E = 3
+        config = MPPIConfig(nx=NX, nu=NU, K=K, T=T, dtype=DT, diag_sigma=True,
+                            num_elites=E, sample_null_action=null)
+        wdyn = S.wrap_dynamics(config, lin_dyn)
+        wcost = S.wrap_cost(config, quad_cost)
+        solve = PR.make_transposed_fused_solve(
+            config, wdyn, wcost, rng_in_kernel=False, emit_perturbed=True)
+        bits = jax.random.randint(
+            jax.random.PRNGKey(3), (D, K), -(2**31), 2**31 - 1, jnp.int32)
+        U2 = jax.random.normal(jax.random.PRNGKey(5), (D,), DT) * 0.1
+        ones = jnp.ones((D,), DT)
+        lam = jnp.asarray(1.0, DT)
+        a_flat = U2 * 0.7
+        x0 = jnp.array([-3.0, -2.0], DT)
+        x0T = jnp.broadcast_to(x0[:, None], (NX, K))
+        elites = jax.random.normal(jax.random.PRNGKey(9), (E, T, NU), DT) * 2.0
+        off = 1 if null else 0
+        el_op = jnp.zeros((D, 128), DT).at[:, off:off + E].set(
+            elites.reshape(E, D).T)
+        delta, m, s_, ct, pert = jax.jit(solve)(
+            bits, x0T, U2, 0.8 * ones, 0.0 * ones, -ones, ones, a_flat, lam,
+            el_op)
+
+        z = PR._bits_to_normal(bits)
+        noise2 = z.T * 0.8
+        pert2 = U2[None] + noise2
+        if null:
+            pert2 = pert2.at[0].set(0.0)
+        pert2 = pert2.at[off:off + E].set(elites.reshape(E, D))
+        pert2 = jnp.clip(pert2, -ones, ones)
+        noise2 = pert2 - U2[None]
+        rc, _, _ = S.rollout_costs(
+            config, wdyn, wcost, None, None, None, x0,
+            pert2.reshape(K, T, NU), jax.random.PRNGKey(0))
+        ct_m = rc + noise2 @ a_flat
+        np.testing.assert_allclose(np.asarray(ct), np.asarray(ct_m),
+                                   rtol=2e-5, atol=1e-5)
+        # the emitted perturbed set holds the injected elite rows exactly
+        # (inject-then-clamp, same order as inject_specific_actions)
+        np.testing.assert_allclose(np.asarray(pert.T), np.asarray(pert2),
+                                   rtol=1e-6, atol=1e-7)
+
+    def test_missing_operand_is_loud(self):
+        config = MPPIConfig(nx=NX, nu=NU, K=K, T=T, dtype=DT, diag_sigma=True,
+                            num_elites=2)
+        solve = PR.make_transposed_fused_solve(
+            config, S.wrap_dynamics(config, lin_dyn),
+            S.wrap_cost(config, quad_cost), rng_in_kernel=False)
+        bits = jnp.zeros((D, K), jnp.int32)
+        ones = jnp.ones((D,), DT)
+        with pytest.raises(TypeError, match="elites operand"):
+            solve(bits, jnp.zeros((NX, K), DT), jnp.zeros(D, DT), ones,
+                  0 * ones, -ones, ones, ones, 1.0)
+
+    def test_injection_window_gate(self):
+        from pytorch_mppi_tpu.ops.solve import FusedSolveUnavailable
+
+        config = MPPIConfig(nx=NX, nu=NU, K=K, T=T, dtype=DT, diag_sigma=True,
+                            num_elites=129)
+        with pytest.raises(FusedSolveUnavailable, match="injection window"):
+            PR.make_transposed_fused_solve(
+                config, S.wrap_dynamics(config, lin_dyn),
+                S.wrap_cost(config, quad_cost), rng_in_kernel=False)

@@ -335,10 +335,10 @@ class TestEliteReuseOnChip:
             rowset(ctrl.perturbed_action[idx]),
             rowset(ctrl._state.elites))
 
-    def test_use_pallas_with_elites_falls_back_to_xla(self):
-        """num_elites needs the materialized perturbed set, so the transposed
-        fused kernel is ineligible: use_pallas=True must fall back to the XLA
-        scan path (with full artifacts) instead of silently dropping rows."""
+    def test_use_pallas_with_elites_falls_back_without_artifacts(self):
+        """num_elites WITHOUT fused_artifacts is ineligible (the top-k
+        refresh needs the materialized perturbed set): use_pallas=True must
+        fall back to the XLA scan path instead of silently dropping rows."""
         ctrl = _ctrl(num_samples=64, num_elites=2, use_pallas=True)
         a = ctrl.command(START)
         assert jnp.isfinite(a).all()
@@ -346,3 +346,40 @@ class TestEliteReuseOnChip:
         assert ctrl.noise is not None
         assert ctrl.perturbed_action is not None
         assert ctrl._state.elites.shape == (2, 8, 2)
+
+    def test_use_pallas_with_elites_and_artifacts_stays_fused(self, caplog):
+        """num_elites + fused_artifacts composes with the transposed kernel
+        (round 5): the shifted elites ride a (D, 128) operand into block 0,
+        the refresh reads the kernel's materialized perturbed set, and the
+        stored elites are exactly the cycle's top-k rows."""
+        import logging
+
+        with caplog.at_level(logging.INFO):
+            ctrl = _ctrl(num_samples=64, num_elites=4, use_pallas=True,
+                         fused_artifacts=True,
+                         u_min=-jnp.ones(2, DT), u_max=jnp.ones(2, DT))
+        assert any("transposed" in r.message for r in caplog.records
+                   if r.levelno == logging.INFO), caplog.records
+        x = START
+        for _ in range(15):
+            a = ctrl.command(x)
+            x = dyn(x, a)
+        assert float(jnp.linalg.norm(GOAL - x)) < 1.0
+        idx = np.argsort(np.asarray(ctrl.cost_total))[:4]
+
+        def rowset(a):
+            f = np.asarray(a).reshape(np.shape(a)[0], -1)
+            return f[np.lexsort(f.T[::-1])]
+
+        np.testing.assert_array_equal(
+            rowset(ctrl.perturbed_action[idx]),
+            rowset(ctrl._state.elites))
+        # next command: the shifted stored elites occupy rows [0, 4)
+        prev = ctrl._state.elites
+        from pytorch_mppi_tpu.ops.solve import _shift_elites
+        expected = jnp.clip(
+            _shift_elites(prev, ctrl._params.u_init), -1.0, 1.0)
+        ctrl.command(x)
+        np.testing.assert_allclose(
+            np.asarray(ctrl.perturbed_action[:4]), np.asarray(expected),
+            rtol=1e-6, atol=1e-7)
