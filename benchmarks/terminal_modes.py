@@ -28,9 +28,9 @@ GOAL = jnp.arange(1.0, 1.0 + NX, dtype=DT)
 
 
 def dynamics(state, action):
-    delta = jnp.zeros_like(state)
-    delta = delta.at[..., :NU].set(action)
-    return 0.98 * state + delta
+    # concatenate-pad (scatter is outside the batch-last kernel vocabulary)
+    pad = jnp.zeros(action.shape[:-1] + (NX - NU,), action.dtype)
+    return 0.98 * state + jnp.concatenate([action, pad], axis=-1)
 
 
 def cost(state, action):

@@ -1550,3 +1550,24 @@ class TestReviewGates:
         config = MPPIConfig(nx=2, nu=2, K=8, T=5, dtype=DTYPE, risk_alpha=-0.5)
         with pytest.raises(ValueError, match=r"risk_alpha must be in \[0, 1\]"):
             S.make_batched_step(config, 2, linear_dynamics, quadratic_cost)
+
+
+class TestEliteTerminalComposition:
+    def test_elites_with_terminal_final(self):
+        """num_elites and terminal_final_cost compose through the controller:
+        elites are selected on the total cost INCLUDING the terminal term,
+        and storage stays lazy."""
+        fterm = lambda s, a: 5.0 * (s ** 2).sum(axis=-1)
+        ctrl = MPPI(linear_dynamics, quadratic_cost, 2,
+                    0.5 * jnp.eye(2, dtype=DTYPE), num_samples=32, horizon=6,
+                    seed=4, num_elites=3, terminal_final_cost=fterm,
+                    u_min=-jnp.ones(2, DTYPE), u_max=jnp.ones(2, DTYPE))
+        x = jnp.array([-2.0, 1.0], DTYPE)
+        for _ in range(3):
+            a = ctrl.command(x)
+            x = linear_dynamics(x, a)
+        assert ctrl.states is None
+        idx = np.argsort(np.asarray(ctrl.cost_total))[:3]
+        np.testing.assert_array_equal(
+            _trajectory_rowset(ctrl.perturbed_action[idx]),
+            _trajectory_rowset(ctrl._state.elites))

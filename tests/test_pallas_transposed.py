@@ -1240,3 +1240,151 @@ class TestEliteOperandKernel:
             PR.make_transposed_fused_solve(
                 config, S.wrap_dynamics(config, lin_dyn),
                 S.wrap_cost(config, quad_cost), rng_in_kernel=False)
+
+
+class TestTerminalFinalVariantKernels:
+    """Terminal-final execution parity for the SMPPI / KMPPI transposed
+    kernels (the MPPI and batched kernels are pinned in
+    TestTerminalFinalKernel): the terminal jaxpr's consts ride the shared
+    hoist list after the body's, and the cost lands on the final
+    action-space state/action."""
+
+    WT = jnp.array([2.0, 0.5], DT)
+
+    @classmethod
+    def _fterm(cls, s, a):
+        return (cls.WT * (s - GOAL) ** 2).sum(axis=-1) + 0.1 * (a ** 2).sum(axis=-1)
+
+    def test_smppi(self):
+        config = MPPIConfig(nx=NX, nu=NU, K=K, T=T, dtype=DT, diag_sigma=True,
+                            u_scale=1.5)
+        wterm = S.wrap_final_cost(self._fterm)
+        bits = jax.random.randint(
+            jax.random.PRNGKey(3), (D, K), -(2**31), 2**31 - 1, jnp.int32)
+        solve = PR.make_transposed_smppi_solve(
+            config, S.wrap_dynamics(config, lin_dyn),
+            S.wrap_cost(config, quad_cost), rng_in_kernel=False,
+            terminal_final=wterm)
+        U2 = jax.random.normal(jax.random.PRNGKey(5), (D,), DT) * 0.1
+        as2 = jax.random.normal(jax.random.PRNGKey(6), (D,), DT) * 0.2
+        scale_t = jnp.full((D,), 0.8, DT)
+        mu_t = jnp.zeros((D,), DT)
+        lo_t = jnp.full((D,), -2.0, DT)
+        hi_t = jnp.full((D,), 2.0, DT)
+        alo_t = jnp.full((D,), -1.0, DT)
+        ahi_t = jnp.full((D,), 1.0, DT)
+        a_flat = U2 * 0.7
+        lam, w_seq, dt_ = jnp.asarray(1.0, DT), jnp.asarray(5.0, DT), \
+            jnp.asarray(0.5, DT)
+        x0 = jnp.array([-1.0, -1.0], DT)
+        x0T = jnp.broadcast_to(x0[:, None], (NX, K))
+        _, _, _, ct_k = jax.jit(solve)(
+            bits, x0T, U2, as2, scale_t, mu_t, lo_t, hi_t, alo_t, ahi_t,
+            a_flat, lam, w_seq, dt_,
+        )
+
+        z = PR._bits_to_normal(bits)
+        noise2 = z.T * scale_t[None]
+        pert_rate = jnp.clip(U2[None] + noise2, lo_t, hi_t)
+        pert_act = jnp.clip(as2[None] + pert_rate * dt_, alo_t, ahi_t)
+        noise2 = (pert_act - as2[None]) / dt_ - U2[None]
+        pc = noise2 @ a_flat
+        adiff = 1.5 * (pert_act[:, NU:] - pert_act[:, :-NU])
+        smooth = w_seq * jnp.sum(adiff**2, axis=1)
+        rc, _, _ = S.rollout_costs(
+            config, S.wrap_dynamics(config, lin_dyn),
+            S.wrap_cost(config, quad_cost), None, None, None, x0,
+            pert_act.reshape(K, T, NU), jax.random.PRNGKey(0),
+            terminal_final_cost=wterm)
+        ct_m = rc + pc + smooth
+        np.testing.assert_allclose(np.asarray(ct_k), np.asarray(ct_m),
+                                   rtol=2e-5, atol=2e-5)
+
+    def test_kmppi(self):
+        nsp = 4
+        Dp = nsp * NU
+        config = MPPIConfig(nx=NX, nu=NU, K=K, T=T, dtype=DT, diag_sigma=True,
+                            num_support_pts=nsp)
+        from pytorch_mppi_tpu.ops.kernels import (RBFKernel,
+                                                  interpolation_operators)
+
+        wterm = S.wrap_final_cost(self._fterm)
+        interp_full, _ = interpolation_operators(RBFKernel(2.0), T, nsp, DT)
+        Wt = jnp.kron(interp_full, jnp.eye(NU, dtype=DT))
+        bits = jax.random.randint(
+            jax.random.PRNGKey(3), (Dp, K), -(2**31), 2**31 - 1, jnp.int32)
+        solve = PR.make_transposed_kmppi_solve(
+            config, S.wrap_dynamics(config, lin_dyn),
+            S.wrap_cost(config, quad_cost), rng_in_kernel=False,
+            terminal_final=wterm)
+        U2 = jax.random.normal(jax.random.PRNGKey(5), (D,), DT) * 0.1
+        th2 = jax.random.normal(jax.random.PRNGKey(6), (Dp,), DT) * 0.2
+        scale_p = jnp.full((Dp,), 0.9, DT)
+        mu_p = jnp.zeros((Dp,), DT)
+        lop = jnp.full((Dp,), -1.0, DT)
+        hip = jnp.full((Dp,), 1.0, DT)
+        lo_t = jnp.full((D,), -1.0, DT)
+        hi_t = jnp.full((D,), 1.0, DT)
+        a_flat = U2 * 0.7
+        lam = jnp.asarray(0.9, DT)
+        x0 = jnp.array([-2.0, -1.0], DT)
+        x0T = jnp.broadcast_to(x0[:, None], (NX, K))
+        _, _, _, ct_k = jax.jit(solve)(
+            bits, x0T, U2, th2, scale_p, mu_p, lop, hip, lo_t, hi_t, a_flat,
+            Wt, lam,
+        )
+
+        z = PR._bits_to_normal(bits)
+        noise_th = z.T * scale_p[None]
+        pert_pts = jnp.clip(th2[None] + noise_th, lop, hip)
+        perturbed = pert_pts @ Wt.T
+        perturbed = jnp.clip(perturbed, lo_t, hi_t)
+        noise_full = perturbed - U2[None]
+        pc = noise_full @ a_flat
+        rc, _, _ = S.rollout_costs(
+            config, S.wrap_dynamics(config, lin_dyn),
+            S.wrap_cost(config, quad_cost), None, None, None, x0,
+            perturbed.reshape(K, T, NU), jax.random.PRNGKey(0),
+            terminal_final_cost=wterm)
+        ct_m = rc + pc
+        np.testing.assert_allclose(np.asarray(ct_k), np.asarray(ct_m),
+                                   rtol=2e-4, atol=2e-4)
+
+    def test_elites_and_terminal_compose_in_kernel(self):
+        """num_elites + terminal_final together in the MPPI kernel: injected
+        elite rows get the terminal cost of THEIR final state."""
+        E = 2
+        config = MPPIConfig(nx=NX, nu=NU, K=K, T=T, dtype=DT, diag_sigma=True,
+                            num_elites=E)
+        wterm = S.wrap_final_cost(self._fterm)
+        solve = PR.make_transposed_fused_solve(
+            config, S.wrap_dynamics(config, lin_dyn),
+            S.wrap_cost(config, quad_cost), rng_in_kernel=False,
+            emit_perturbed=True, terminal_final=wterm)
+        bits = jax.random.randint(
+            jax.random.PRNGKey(3), (D, K), -(2**31), 2**31 - 1, jnp.int32)
+        U2 = jax.random.normal(jax.random.PRNGKey(5), (D,), DT) * 0.1
+        ones = jnp.ones((D,), DT)
+        lam = jnp.asarray(1.0, DT)
+        a_flat = U2 * 0.7
+        x0 = jnp.array([-3.0, -2.0], DT)
+        x0T = jnp.broadcast_to(x0[:, None], (NX, K))
+        elites = jax.random.normal(jax.random.PRNGKey(9), (E, T, NU), DT)
+        el_op = jnp.zeros((D, 128), DT).at[:, 0:E].set(elites.reshape(E, D).T)
+        _, _, _, ct, pert = jax.jit(solve)(
+            bits, x0T, U2, 0.8 * ones, 0.0 * ones, -ones, ones, a_flat, lam,
+            el_op)
+
+        z = PR._bits_to_normal(bits)
+        pert2 = U2[None] + z.T * 0.8
+        pert2 = pert2.at[0:E].set(elites.reshape(E, D))
+        pert2 = jnp.clip(pert2, -ones, ones)
+        noise2 = pert2 - U2[None]
+        rc, _, _ = S.rollout_costs(
+            config, S.wrap_dynamics(config, lin_dyn),
+            S.wrap_cost(config, quad_cost), None, None, None, x0,
+            pert2.reshape(K, T, NU), jax.random.PRNGKey(0),
+            terminal_final_cost=wterm)
+        ct_m = rc + noise2 @ a_flat
+        np.testing.assert_allclose(np.asarray(ct), np.asarray(ct_m),
+                                   rtol=2e-5, atol=1e-5)
