@@ -196,3 +196,29 @@ class TestFreshProcess:
         )
         got = np.load(str(tmp_path / "acts.npy"))
         np.testing.assert_array_equal(got, expected)
+
+
+class TestRound5FeatureExport:
+    def test_elites_and_terminal_final_round_trip(self, tmp_path):
+        """The AOT artifact carries the round-5 state/feature surface:
+        MPPIState.elites rides the exported state structure, the compiled
+        solve bakes the final-state terminal cost in, and the served solver
+        replays the build-host controller bit-exactly."""
+        fterm = lambda s, a: 3.0 * (s ** 2).sum(axis=-1)
+        ctrl = MPPI(linear_dynamics, quadratic_cost, 2,
+                    0.5 * jnp.eye(2, dtype=jnp.float32), num_samples=32,
+                    horizon=6, seed=3, num_elites=2,
+                    terminal_final_cost=fterm,
+                    u_min=-jnp.ones(2, jnp.float32),
+                    u_max=jnp.ones(2, jnp.float32))
+        path = str(tmp_path / "solver.mppi.npz")
+        deploy.export_solver(ctrl, path)
+        srv = deploy.load_solver(path)
+        x = jnp.array([-2.0, 1.0], jnp.float32)
+        for _ in range(3):
+            a_live = ctrl.command(x)
+            a_srv = srv.command(x)
+            np.testing.assert_array_equal(np.asarray(a_live),
+                                          np.asarray(a_srv))
+            x = linear_dynamics(x, a_live)
+        assert srv.state.elites is not None
