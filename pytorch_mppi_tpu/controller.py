@@ -565,21 +565,22 @@ class MPPI:
     def get_action_sequence(self):
         return self._state.U
 
-    def _set_elites(self, elites):
-        """Replace the stored elite plans when the feature is on (one site for
-        the shift / horizon-change / reset maintenance, so the three stay in
-        sync with any future MPPIState.elites change)."""
-        if getattr(self._state, "elites", None) is not None:
-            self._state = self._state._replace(elites=elites)
+    def _update_elites(self, compute):
+        """Recompute the stored elite plans when the feature is on (the ONE
+        guard site for the shift / horizon-change / reset maintenance, so the
+        three stay in sync with any future MPPIState.elites change);
+        ``compute`` receives the current (E, T, nu) elites."""
+        elites = getattr(self._state, "elites", None)
+        if elites is not None:
+            self._state = self._state._replace(elites=compute(elites))
 
     def shift_nominal_trajectory(self):
         """Shift the nominal trajectory forward one step (mppi.py:232-238)."""
         U = jnp.roll(self._state.U, -1, axis=0).at[-1].set(self._params.u_init)
         self._state = self._state._replace(U=U)
-        if getattr(self._state, "elites", None) is not None:
-            # the stored elite plans advance with the receding horizon too
-            self._set_elites(
-                _solve._shift_elites(self._state.elites, self._params.u_init))
+        # the stored elite plans advance with the receding horizon too
+        self._update_elites(
+            lambda el: _solve._shift_elites(el, self._params.u_init))
 
     def change_horizon(self, horizon: int):
         """Truncate/extend U and re-specialize the solver (mppi.py:277-284)."""
@@ -598,14 +599,14 @@ class MPPI:
         self._state = self._state._replace(U=U)
         # a horizon change invalidates the stored (E, T_old, nu) plans;
         # restart them from the adjusted nominal
-        self._set_elites(self._initial_elites(U))
+        self._update_elites(lambda el: self._initial_elites(U))
 
     def reset(self):
         """Clear controller state after a trial: resample U (mppi.py:286-290)."""
         U0 = self._sample_noise_eager((self.T,))
         self._state = self._state._replace(U=U0)
         # trial boundaries must not leak plans from the previous trial
-        self._set_elites(self._initial_elites(U0))
+        self._update_elites(lambda el: self._initial_elites(U0))
 
     def command(self, state, shift_nominal_trajectory: bool = True, info=None):
         """One MPC solve (reference mppi.py:240-252).

@@ -861,16 +861,23 @@ def _gate_adaptive_covariance(config: MPPIConfig, use_pallas, variant: str):
     return use_pallas
 
 
+def _check_risk_alpha_range(config: MPPIConfig):
+    """Shared [0, 1] range validation (one site for the message/bounds;
+    used by _gate_risk_alpha and the batched factory, whose M-axis rule
+    differs)."""
+    if not 0.0 <= config.risk_alpha <= 1.0:
+        raise ValueError(
+            f"risk_alpha must be in [0, 1], got {config.risk_alpha}"
+        )
+
+
 def _gate_risk_alpha(config: MPPIConfig):
     """Validate risk_alpha at the ops layer (mirrors the controller check at
     controller.py) so a hand-built ``MPPIConfig`` gets the same loud error:
     CVaR aggregation only exists on the M (rollout_samples) axis, so
     ``risk_alpha > 0`` with ``M == 1`` would otherwise be silently ignored
     by ``rollout_costs`` (its ``var_on`` branch is off at M=1)."""
-    if not 0.0 <= config.risk_alpha <= 1.0:
-        raise ValueError(
-            f"risk_alpha must be in [0, 1], got {config.risk_alpha}"
-        )
+    _check_risk_alpha_range(config)
     if config.risk_alpha > 0.0 and config.M < 2:
         raise ValueError(
             "risk_alpha needs rollout_samples (M) > 1: CVaR over the "
@@ -906,13 +913,16 @@ def _gate_gradient_refinement(config: MPPIConfig, variant: str):
         )
 
 
-def _gate_elites(config: MPPIConfig, variant: str):
+def _gate_elites(config: MPPIConfig, variant: str, has_sampler: bool = True):
     """Validate elite reuse (``MPPIConfig.num_elites``, iCEM-style) at the ops
     layer.  MPPI re-injects elites directly as action-space sample rows;
     SMPPI/KMPPI sample in lifted spaces (action rates / kernel support points)
     where an action-space elite has no row to occupy, and MPPI_Batched shares
     one sample set across plants — all three reject the flag loudly instead
-    of silently ignoring it."""
+    of silently ignoring it.  ``has_sampler`` mirrors the injection itself:
+    ``num_specific_trajectories`` rows only exist when a sampler is actually
+    wired (inject_specific_actions skips them otherwise), so an unwired count
+    must not spuriously reject a valid config."""
     if config.num_elites == 0:
         return
     if config.num_elites < 0:
@@ -928,7 +938,7 @@ def _gate_elites(config: MPPIConfig, variant: str):
     injected = (
         config.num_elites
         + (1 if config.sample_null_action else 0)
-        + config.num_specific_trajectories
+        + (config.num_specific_trajectories if has_sampler else 0)
     )
     if injected >= config.K:
         raise ValueError(
@@ -1073,7 +1083,8 @@ def make_mppi_step(
     use_pallas = _gate_adaptive_covariance(config, use_pallas, "MPPI")
     _gate_risk_alpha(config)
     _gate_gradient_refinement(config, "MPPI")
-    _gate_elites(config, "MPPI")
+    _gate_elites(config, "MPPI",
+                 has_sampler=sample_trajectories is not None)
     _gate_terminal(terminal_state_cost, terminal_final_cost)
     # rows excluded from the adaptive-covariance rank-mu estimate: the null
     # action, sampler-injected trajectories and re-injected elites are not
@@ -1197,15 +1208,9 @@ def make_mppi_step(
                 params._replace(noise_sigma=sigma)
                 if config.adaptive_covariance else params
             )
-            U, artifacts = _one_iteration(
+            U, artifacts, elites = _one_iteration(
                 it_params, U, elites, x0, info, k_noise, k_roll, dyn_params
             )
-            if config.num_elites > 0:
-                # iCEM-style elite refresh: the lowest-total-cost rows of THIS
-                # cycle (injected elites compete with the fresh noise rows and
-                # survive only on merit) seed the next iteration / command
-                _, eidx = lax.top_k(-artifacts.cost_total, config.num_elites)
-                elites = artifacts.perturbed_action[eidx]
             if config.adaptive_covariance and it + 1 < config.num_iterations:
                 sigma = adapt_covariance(
                     config, sigma, artifacts.omega, artifacts.noise,
@@ -1255,6 +1260,14 @@ def make_mppi_step(
         delta, m, s, cost_total = out[:4]
         ctnz, omega = PR.weighting_from_stats(cost_total, params.lambda_, m, s)
         U_new = U + (delta / s).reshape(T, nu)
+        new_elites = elites
+        if config.num_elites > 0:
+            # top-k refresh straight off the kernel's (D, K) perturbed output:
+            # a 4-column lane gather, NOT the full (D, K) -> (K, T, nu)
+            # transpose+relayout the artifact surface pays (XLA dead-codes
+            # that when nothing reads the artifacts)
+            _, eidx = lax.top_k(-cost_total, config.num_elites)
+            new_elites = out[4][:, eidx].T.reshape(config.num_elites, T, nu)
         noise_art = pert_art = None
         if config.fused_artifacts:
             # perturbed comes back (D, K); the rectified noise is the same
@@ -1271,7 +1284,7 @@ def make_mppi_step(
             states=None,
             actions=None,
         )
-        return U_new, artifacts
+        return U_new, artifacts, new_elites
 
     def _one_iteration(params, U, elites, x0, info, k_noise, k_roll, dyn_params):
         if transposed_solve is not None:
@@ -1293,14 +1306,27 @@ def make_mppi_step(
         noise2 = cset(noise2, sample_axis)
         U2 = U.reshape(D)
         perturbed2 = U2[None] + noise2
-        if config.sample_null_action or config.num_elites > 0 or (
-            sample_trajectories is not None and config.num_specific_trajectories > 0
-        ):
+        if sample_trajectories is not None and config.num_specific_trajectories > 0:
+            # sampler rows need the (K, T, nu) contract; null/elites ride along
             perturbed = inject_specific_actions(
                 config, sample_trajectories, perturbed2.reshape(K, T, nu), x0, info,
                 elites=elites,
             )
             perturbed2 = perturbed.reshape(K, D)
+        else:
+            # null-action + elite rows injected in the FLAT lane-dense layout
+            # (same row order as inject_specific_actions): a row-0 set and an
+            # E-row dynamic_update_slice on (K, D) — no (K, T, nu) round trip,
+            # whose nu-wide lanes relayout the whole 2.4 MB tensor (measured
+            # +130 us at the flagship shape, benchmarks/elite_modes.py)
+            if config.sample_null_action:
+                perturbed2 = perturbed2.at[0].set(0.0)
+            if config.num_elites > 0:
+                perturbed2 = lax.dynamic_update_slice(
+                    perturbed2,
+                    elites.astype(dtype).reshape(config.num_elites, D),
+                    (1 if config.sample_null_action else 0, 0),
+                )
         lo2 = jnp.tile(jnp.broadcast_to(params.u_min, (nu,)).astype(dtype), T)
         hi2 = jnp.tile(jnp.broadcast_to(params.u_max, (nu,)).astype(dtype), T)
         perturbed2 = _bound(perturbed2, lo2, hi2)
@@ -1347,6 +1373,14 @@ def make_mppi_step(
             perturbations = (omega @ noise2).reshape(T, nu)
         U_new = U + perturbations
 
+        new_elites = elites
+        if config.num_elites > 0:
+            # iCEM-style elite refresh on the FLAT perturbed rows (injected
+            # elites compete with the fresh noise rows and survive only on
+            # merit); a lane-dense row gather, not a (K, T, nu) gather
+            _, eidx = lax.top_k(-cost_total, config.num_elites)
+            new_elites = perturbed2[eidx].reshape(config.num_elites, T, nu)
+
         artifacts = Artifacts(
             cost_total=cost_total,
             cost_total_non_zero=cost_total_non_zero,
@@ -1356,7 +1390,7 @@ def make_mppi_step(
             states=states,
             actions=None if actions is None else actions / jnp.asarray(config.u_scale, dtype),
         )
-        return U_new, artifacts
+        return U_new, artifacts, new_elites
 
     def step(params, state, x0, info=None, dyn_params=None):
         return _solve(params, state, x0, info, shift=True, dyn_params=dyn_params)
@@ -1925,11 +1959,7 @@ def make_batched_step(
         raise ValueError(
             f"config.num_iterations must be >= 1, got {config.num_iterations}"
         )
-    if not 0.0 <= config.risk_alpha <= 1.0:
-        # same range validation as _gate_risk_alpha on the other factories
-        raise ValueError(
-            f"risk_alpha must be in [0, 1], got {config.risk_alpha}"
-        )
+    _check_risk_alpha_range(config)
     if config.risk_alpha > 0.0 or config.M > 1:
         raise ValueError(
             "rollout_samples (M) > 1 / risk_alpha are not supported on "

@@ -1571,3 +1571,28 @@ class TestEliteTerminalComposition:
         np.testing.assert_array_equal(
             _trajectory_rowset(ctrl.perturbed_action[idx]),
             _trajectory_rowset(ctrl._state.elites))
+
+
+class TestEliteGateSamplerCount:
+    def test_unwired_specific_count_does_not_reject(self):
+        """A config carrying num_specific_trajectories but NO wired sampler
+        must not count those phantom rows against the elite window — the
+        injection itself skips them (review fix, round 5)."""
+        from pytorch_mppi_tpu.config import MPPIConfig
+        from pytorch_mppi_tpu.ops import solve as S
+
+        config = MPPIConfig(nx=2, nu=2, K=8, T=4, dtype=DTYPE, num_elites=2,
+                            num_specific_trajectories=6, diag_sigma=True)
+        # builds fine: only the 2 elite rows are actually injected
+        S.make_mppi_step(config, linear_dynamics, quadratic_cost, jit=False)
+        # with a sampler wired the same numbers DO overflow K
+        class Big(SpecificActionSampler):
+            num_trajectories = 6
+
+            def sample_trajectories(self, state, info):
+                return jnp.zeros((6, 4, 2), DTYPE)
+
+        with pytest.raises(ValueError, match="fills all K"):
+            S.make_mppi_step(config, linear_dynamics, quadratic_cost,
+                             sample_trajectories=Big().sample_trajectories,
+                             jit=False)
