@@ -38,3 +38,27 @@ class TestBatchedModes:
 
         if jax.default_backend() != "tpu":
             assert "fused-rng" not in results
+
+
+class TestTerminalModes:
+    def test_cpu_lane_measures_all_variants(self):
+        """benchmarks/terminal_modes.py gates the DESIGN §12 cost claims —
+        its plumbing gets line coverage at tiny shapes (the pallas variant
+        falls back to XLA on CPU, which is fine: the harness must not
+        crash)."""
+        import terminal_modes
+
+        out = terminal_modes.run(K=128, T=6, solves=5, repeats=1)
+        assert set(out) == {"none", "full_hook", "final_hook", "final_pallas"}
+        assert all(v > 0 for v in out.values())
+
+
+class TestEliteModes:
+    def test_cpu_lane_measures_both_paths(self):
+        """benchmarks/elite_modes.py gates the DESIGN §11 cost claims."""
+        import elite_modes
+
+        out = elite_modes.run(ks=(128,), T=6, solves=5, repeats=1)
+        assert set(out) == {"K128_xla_e0", "K128_xla_e4",
+                            "K128_pallas_fa_e0", "K128_pallas_fa_e4"}
+        assert all(v > 0 for v in out.values())
