@@ -20,6 +20,7 @@ the reference's init-time closure resolution (mppi.py:120-199).
 """
 from __future__ import annotations
 
+import dataclasses
 import functools
 import logging
 import math
@@ -790,6 +791,27 @@ def _route_transposed_solve(config, builder, terminal_state_cost,
         logger.warning(
             "use_pallas with num_elites on a K-sharded mesh is not supported "
             "by the fused kernels; using the XLA scan path"
+        )
+        return None
+    if (
+        config.num_elites > 0
+        and not config.fused_artifacts
+        and PR.transposed_eligible(
+            dataclasses.replace(config, fused_artifacts=True),
+            has_terminal=terminal_state_cost is not None,
+            has_specific_sampler=(
+                sample_trajectories is not None or specific_dynamics is not None
+            ),
+            mesh=None if sharded else mesh,
+        )
+    ):
+        # the one ineligibility the user can lift with a flag: say so
+        logger.warning(
+            "use_pallas with num_elites=%d needs fused_artifacts=True (the "
+            "top-k elite refresh reads the kernel's materialized perturbed "
+            "set); using the XLA scan path — set fused_artifacts=True to "
+            "keep the fused kernel (+~3.6 us at K=10k, docs/DESIGN.md §11)",
+            config.num_elites,
         )
         return None
     if not PR.transposed_eligible(

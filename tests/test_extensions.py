@@ -1596,3 +1596,27 @@ class TestEliteGateSamplerCount:
             S.make_mppi_step(config, linear_dynamics, quadratic_cost,
                              sample_trajectories=Big().sample_trajectories,
                              jit=False)
+
+
+class TestEliteRoutingHint:
+    def test_elites_without_artifacts_names_the_fix(self, monkeypatch, caplog):
+        """On a TPU backend, use_pallas + num_elites without fused_artifacts
+        must fall back with a warning that NAMES the flag that lifts the
+        ineligibility (exercised here by faking the backend check — the CPU
+        lane otherwise short-circuits at the interpret guard)."""
+        import logging as _logging
+
+        from pytorch_mppi_tpu.ops import pallas_rollout as PR
+        from pytorch_mppi_tpu.ops import solve as S
+        from pytorch_mppi_tpu.config import MPPIConfig
+
+        monkeypatch.setattr(PR, "_interpret", lambda: False)
+        config = MPPIConfig(nx=2, nu=2, K=16, T=4, dtype=jnp.float32,
+                            num_elites=2, diag_sigma=True)
+        with caplog.at_level(_logging.WARNING):
+            route = S._route_transposed_solve(
+                config, lambda: (_ for _ in ()).throw(AssertionError(
+                    "builder must not run for the hinted fallback")),
+                None, None, None, None, "MPPI")
+        assert route is None
+        assert any("fused_artifacts=True" in r.message for r in caplog.records)
